@@ -1,0 +1,52 @@
+"""Differentiable bilinear texture sampling (GL_REPEAT wrap, linear filter).
+
+Replaces GLSL ``texture()`` lookups in the conversion fragment shader
+(reference: src/shaders/conversion/converterFS.glsl:57,70,90). Gradients flow
+to the texture — this is what makes conversion differentiable w.r.t. source
+textures (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_bilinear(tex: jax.Array, uv: jax.Array) -> jax.Array:
+    """tex: (H, W, C); uv: (..., 2) in [0,1] with REPEAT wrap.
+    GL convention: texel (i, j) center at uv = ((j+0.5)/W, (i+0.5)/H); the
+    reference's textures are uploaded without a vertical flip, so v maps
+    straight to row index (reference: src/utils/glUtils.cpp:252-318)."""
+    h, w = tex.shape[0], tex.shape[1]
+    u = uv[..., 0] * w - 0.5
+    v = uv[..., 1] * h - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+
+    u0i = jnp.mod(u0.astype(jnp.int32), w)
+    u1i = jnp.mod(u0i + 1, w)
+    v0i = jnp.mod(v0.astype(jnp.int32), h)
+    v1i = jnp.mod(v0i + 1, h)
+
+    t00 = tex[v0i, u0i]
+    t01 = tex[v0i, u1i]
+    t10 = tex[v1i, u0i]
+    t11 = tex[v1i, u1i]
+
+    fu = fu[..., None]
+    fv = fv[..., None]
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )
+
+
+def sample_nearest(tex: jax.Array, uv: jax.Array) -> jax.Array:
+    h, w = tex.shape[0], tex.shape[1]
+    ui = jnp.mod(jnp.floor(uv[..., 0] * w).astype(jnp.int32), w)
+    vi = jnp.mod(jnp.floor(uv[..., 1] * h).astype(jnp.int32), h)
+    return tex[vi, ui]

@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-virtual-device CPU platform so sharding
+tests run without TPU hardware (SURVEY.md section 4, point 4).
+
+Note: the environment's sitecustomize registers the 'axon' TPU backend before
+pytest starts and pins JAX_PLATFORMS=axon, so env mutation alone is not
+enough — we must override via jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
