@@ -25,8 +25,12 @@ SH_C0 = 0.28209479177387814
 
 
 def _inv_sigmoid(a: np.ndarray) -> np.ndarray:
-    a = np.clip(a, 0.0, 1.0)
-    return -np.log(1.0 / (a + 1e-8) - 1.0)
+    """Float32 arithmetic like the reference (utils.hpp:270): at a == 1.0 the
+    f32 result is +inf (sigmoid(+inf) == 1 on re-import), whereas f64 would
+    produce NaN via log of a negative."""
+    a = np.clip(a, 0.0, 1.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        return -np.log(np.float32(1.0) / (a + np.float32(1e-8)) - np.float32(1.0))
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:

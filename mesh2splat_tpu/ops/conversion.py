@@ -109,6 +109,45 @@ def _barycentric(p, a, b, c):
     return jnp.stack([wa, wb, wc], axis=-1), den
 
 
+def _edge_cross(a, b, p):
+    return (b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1]) - (
+        b[..., 1] - a[..., 1]
+    ) * (p[..., 0] - a[..., 0])
+
+
+def _coverage_top_left(p, a, b, c):
+    """Point-in-triangle with the raster top-left fill rule so texel centers
+    on shared edges are claimed by exactly one triangle — matching the GPU
+    rasterizer's fragment enumeration the reference relies on
+    (ConversionPass draws adjacent triangles into one viewport; hardware
+    guarantees no double-hit on shared edges)."""
+    den = _edge_cross(a, b, c)  # 2x signed area; >0 for CCW in (u, v)
+    s = jnp.sign(den)
+    # orient edges so inside => weight >= 0 regardless of winding
+    w0 = _edge_cross(a, b, p) * s
+    w1 = _edge_cross(b, c, p) * s
+    w2 = _edge_cross(c, a, p) * s
+
+    def top_left(e0, e1):
+        d = (e1 - e0) * s[..., None]
+        return jnp.logical_or(
+            d[..., 1] < 0,  # "left" edge (descending in v for CCW)
+            jnp.logical_and(d[..., 1] == 0, d[..., 0] < 0),  # "top" edge
+        )
+
+    t0 = top_left(a, b)
+    t1 = top_left(b, c)
+    t2 = top_left(c, a)
+
+    def accept(w, tl):
+        return jnp.logical_or(w > 0, jnp.logical_and(w == 0, tl))
+
+    inside = jnp.logical_and(
+        jnp.logical_and(accept(w0, t0), accept(w1, t1)), accept(w2, t2)
+    )
+    return jnp.logical_and(inside, jnp.abs(den) > 1e-20)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def convert(
     mesh: TriangleMesh,
@@ -157,9 +196,8 @@ def convert(
     uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res  # (cap,2)
 
     t_ouv = ouv[tri_id_safe]           # (cap, 3, 2)
-    bary, den = _barycentric(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
-    inside = jnp.all(bary >= 0.0, axis=-1)
-    inside = jnp.logical_and(inside, jnp.abs(den) > 1e-20)
+    bary, _ = _barycentric(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
+    inside = _coverage_top_left(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
     valid = jnp.logical_and(in_budget, inside)
 
     tp = mesh.tri_pos[tri_id_safe]      # (cap, 3, 3)

@@ -1,0 +1,190 @@
+"""Pipeline integration: textured quad -> ~4k gaussians (BASELINE.json
+config 1; SURVEY.md section 4 test item 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mesh2splat_tpu.types import Material, TriangleMesh
+from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+
+
+def unit_quad(z=0.0):
+    """Two triangles spanning [0,1]^2 in the z=z plane, +Z normal, UV = XY."""
+    v = np.array(
+        [[0, 0, z], [1, 0, z], [1, 1, z], [0, 1, z]], np.float32
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]])
+    tri_pos = v[tris]
+    n = np.broadcast_to(np.array([0, 0, 1], np.float32), (2, 3, 3))
+    t = np.broadcast_to(np.array([1, 0, 0, 1], np.float32), (2, 3, 4))
+    uv = tri_pos[..., :2].copy()
+    return TriangleMesh(
+        tri_pos=jnp.asarray(tri_pos),
+        tri_normal=jnp.asarray(n.copy()),
+        tri_tangent=jnp.asarray(t.copy()),
+        tri_uv=jnp.asarray(uv),
+    )
+
+
+def checker_texture(n=64):
+    ij = np.indices((n, n)).sum(axis=0) % 2
+    tex = np.zeros((n, n, 4), np.float32)
+    tex[..., 0] = ij          # red checker
+    tex[..., 1] = 1.0 - ij    # green inverse
+    tex[..., 2] = 0.25
+    tex[..., 3] = 1.0
+    return jnp.asarray(tex)
+
+
+def test_quad_conversion_counts():
+    """Each texel center of the res^2 grid is covered by exactly one of the
+    two triangles -> exactly res^2 splats (the reference's rasterizer would
+    enumerate the same fragments)."""
+    mesh = unit_quad()
+    mat = Material.default()
+    cfg = ConversionConfig(resolution=64, layers=3)
+    sp = convert(mesh, mat, *mesh.bbox(), cfg)
+    assert int(sp.count()) == 64 * 64
+
+
+def test_quad_conversion_geometry():
+    mesh = unit_quad(z=0.25)
+    mat = Material.default()
+    cfg = ConversionConfig(resolution=32, layers=3)
+    sp = convert(mesh, mat, *mesh.bbox(), cfg)
+    valid = np.asarray(sp.valid)
+    pos = np.asarray(sp.pos)[valid]
+    # all splats on the quad plane, inside [0,1]^2
+    np.testing.assert_allclose(pos[:, 2], 0.25, atol=1e-5)
+    assert pos[:, 0].min() >= 0 and pos[:, 0].max() <= 1
+    # raw scale = (|Ju|, |Jv|, 1e-7); identity ortho-UV mapping -> (1, 1)
+    scale = np.asarray(sp.scale)[valid]
+    np.testing.assert_allclose(scale[:, :2], 1.0, atol=1e-4)
+    np.testing.assert_allclose(scale[:, 2], 1e-7, atol=1e-9)
+    # normals carried through (no normal map)
+    nrm = np.asarray(sp.normal)[valid]
+    np.testing.assert_allclose(nrm, np.broadcast_to([0, 0, 1.0], nrm.shape), atol=1e-5)
+    # default pbr = (0.1, 0.5) (converterFS.glsl:94)
+    pbr = np.asarray(sp.pbr)[valid]
+    np.testing.assert_allclose(pbr, np.broadcast_to([0.1, 0.5], pbr.shape), atol=1e-6)
+
+
+def test_quad_conversion_texture_sampling():
+    """With UV == ortho-UV == position, a res-matched checker texture must be
+    sampled exactly at texel centers."""
+    res = 64
+    mesh = unit_quad()
+    tex = checker_texture(res)
+    mat = Material(
+        base_color_factor=jnp.ones(4),
+        metallic_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        base_color=tex,
+        normal=jnp.full((1, 1, 3), 0.5),
+        metallic_roughness=jnp.zeros((1, 1, 3)),
+        has_base_color=True,
+    )
+    cfg = ConversionConfig(resolution=res, layers=3)
+    sp = convert(mesh, mat, *mesh.bbox(), cfg)
+    valid = np.asarray(sp.valid)
+    pos = np.asarray(sp.pos)[valid]
+    col = np.asarray(sp.color)[valid]
+    # expected checker value at each splat's texel
+    i = np.floor(pos[:, 0] * res).astype(int)
+    j = np.floor(pos[:, 1] * res).astype(int)
+    expected = np.asarray(tex)[j, i]
+    np.testing.assert_allclose(col, expected, atol=1e-5)
+
+
+def test_base_color_factor():
+    mesh = unit_quad()
+    mat = Material.default()
+    mat = Material(
+        base_color_factor=jnp.asarray([0.5, 0.25, 1.0, 0.8]),
+        metallic_factor=mat.metallic_factor,
+        roughness_factor=mat.roughness_factor,
+        base_color=mat.base_color,
+        normal=mat.normal,
+        metallic_roughness=mat.metallic_roughness,
+    )
+    cfg = ConversionConfig(resolution=16, layers=3)
+    sp = convert(mesh, mat, *mesh.bbox(), cfg)
+    valid = np.asarray(sp.valid)
+    col = np.asarray(sp.color)[valid]
+    np.testing.assert_allclose(
+        col, np.broadcast_to([0.5, 0.25, 1.0, 0.8], col.shape), atol=1e-6
+    )
+
+
+def test_overlapping_layers():
+    """Two stacked quads (cube top/bottom analogue): both project to the same
+    ortho-UV region -> 2x res^2 splats, like the reference's per-fragment
+    append for overlapping geometry."""
+    m1 = unit_quad(0.0)
+    m2 = unit_quad(0.5)
+    tri_pos = jnp.concatenate([m1.tri_pos, m2.tri_pos])
+    mesh = TriangleMesh(
+        tri_pos=tri_pos,
+        tri_normal=jnp.concatenate([m1.tri_normal, m2.tri_normal]),
+        tri_tangent=jnp.concatenate([m1.tri_tangent, m2.tri_tangent]),
+        tri_uv=jnp.concatenate([m1.tri_uv, m2.tri_uv]),
+    )
+    cfg = ConversionConfig(resolution=32, layers=4)
+    sp = convert(mesh, Material.default(), *mesh.bbox(), cfg)
+    assert int(sp.count()) == 2 * 32 * 32
+
+
+def test_capacity_clamp():
+    """Slots beyond capacity are dropped, mirroring the reference's
+    u_maxGaussians discard (converterFS.glsl:49)."""
+    mesh = unit_quad()
+    cfg = ConversionConfig(resolution=64, layers=3)
+    small = ConversionConfig(resolution=8, layers=1)  # capacity 64 < 64^2
+    sp = convert(mesh, Material.default(), *mesh.bbox(), small)
+    assert int(sp.count()) <= small.capacity
+
+
+def test_degenerate_triangles_skipped():
+    mesh = unit_quad()
+    bad = jnp.asarray(
+        [[[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+         [[np.nan, 0, 0], [1, 0, 0], [0, 1, 0]]], jnp.float32
+    )
+    mesh2 = TriangleMesh(
+        tri_pos=jnp.concatenate([mesh.tri_pos, bad]),
+        tri_normal=jnp.concatenate([mesh.tri_normal, mesh.tri_normal]),
+        tri_tangent=jnp.concatenate([mesh.tri_tangent, mesh.tri_tangent]),
+        tri_uv=jnp.concatenate([mesh.tri_uv, mesh.tri_uv]),
+    )
+    cfg = ConversionConfig(resolution=32, layers=3)
+    sp = convert(mesh2, Material.default(), jnp.zeros(3), jnp.asarray([1.0, 1, 0]), cfg)
+    assert int(sp.count()) == 32 * 32
+    assert np.all(np.isfinite(np.asarray(sp.pos)[np.asarray(sp.valid)]))
+
+
+def test_conversion_differentiable_wrt_texture():
+    """Gradients must flow to the source texture (north star: differentiable
+    conversion)."""
+    res = 16
+    mesh = unit_quad()
+    tex = checker_texture(res)
+    cfg = ConversionConfig(resolution=res, layers=2)
+
+    def loss(texture):
+        mat = Material(
+            base_color_factor=jnp.ones(4),
+            metallic_factor=jnp.float32(1.0),
+            roughness_factor=jnp.float32(1.0),
+            base_color=texture,
+            normal=jnp.full((1, 1, 3), 0.5),
+            metallic_roughness=jnp.zeros((1, 1, 3)),
+            has_base_color=True,
+        )
+        sp = convert(mesh, mat, jnp.zeros(3), jnp.asarray([1.0, 1, 0]), cfg)
+        return jnp.sum(jnp.where(sp.valid[:, None], sp.color, 0.0) ** 2)
+
+    g = jax.grad(loss)(tex)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
