@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Material, Splats, TriangleMesh
+from . import segments
 from .sampling import sample_bilinear
 from .triplanar import triangle_conversion_attrs
 
@@ -80,19 +81,6 @@ def _triangle_texel_bbox(ouv, res):
     x1 = jnp.clip(x1, -1, res - 1)
     wh = jnp.maximum(x1 - x0 + 1, 0)
     return x0[:, 0], x0[:, 1], wh[:, 0], wh[:, 1]
-
-
-def _slot_to_triangle(offsets, areas, capacity):
-    """Map each output slot to its owning triangle without searchsorted:
-    scatter (tri_index + 1) at each segment start, then a running max.
-    offsets: (T,) exclusive cumsum of areas; areas: (T,)."""
-    t = offsets.shape[0]
-    starts = jnp.where(areas > 0, offsets, capacity)  # empty triangles never win
-    marks = jnp.zeros((capacity + 1,), jnp.int32)
-    tri_plus1 = jnp.arange(1, t + 1, dtype=jnp.int32)
-    marks = marks.at[jnp.clip(starts, 0, capacity)].max(tri_plus1)
-    tri_id = jax.lax.associative_scan(jnp.maximum, marks[:capacity]) - 1
-    return tri_id  # (capacity,) int32, -1 before first live triangle
 
 
 def _barycentric(p, a, b, c):
@@ -177,20 +165,16 @@ def convert(
     area = jnp.where(finite, area, 0)
 
     # ---- stage 2: budgeted slot allocation -------------------------------
-    offsets = jnp.cumsum(area) - area  # exclusive
-    total = jnp.minimum(offsets[-1] + area[-1], cap)
+    offsets, total = segments.alloc_slots(area, cap)
 
     # ---- stage 3: slot -> (triangle, texel) ------------------------------
-    tri_id = _slot_to_triangle(offsets, area, cap)  # (cap,)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    tri_id_safe = jnp.maximum(tri_id, 0)
-
-    local = slot - offsets[tri_id_safe]
+    tri_id_safe, local, in_budget = segments.expand_to_slots(offsets, area, cap)
     tw = jnp.maximum(w[tri_id_safe], 1)
     ti = x0[tri_id_safe] + local % tw
     tj = y0[tri_id_safe] + local // tw
-    in_budget = jnp.logical_and(tri_id >= 0, local < area[tri_id_safe])
-    in_budget = jnp.logical_and(in_budget, slot < total)
+    in_budget = jnp.logical_and(
+        in_budget, jnp.arange(cap, dtype=jnp.int32) < total
+    )
 
     # ---- stage 4: the fragment shader as a gather ------------------------
     uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res  # (cap,2)

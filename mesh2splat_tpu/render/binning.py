@@ -1,0 +1,200 @@
+"""Sort-based tile binning: the TPU-native replacement for the reference's
+global GPU radix sort + gather (reference:
+src/renderer/renderPasses/RadixSortPass.cpp, thirdParty/RadixSort.hpp,
+radixSortPrepass.glsl, radixSortGather.glsl).
+
+The reference sorts ALL splats by view depth once and lets ROP hardware blend
+quads in that order. A TPU has no ROP, so compositing is explicit per pixel
+tile; the global sort becomes:
+
+  depth ranks (one global sort)  ->  (tile, rank) pair expansion (slot
+  allocation, ops/segments.py)   ->  one lexicographic sort of the pairs ->
+  per-tile contiguous ranges.
+
+Within each tile range the pairs are depth-ordered, which is exactly the
+invariant the reference's ``floatBitsToUint(viewZ)`` radix key establishes
+(radixSortPrepass.glsl:29-32).
+
+Tiles are (8, 128) pixels — one native f32 VPU tile — rather than the CUDA-
+conventional 16x16: the lane dimension stays fully utilized in the composite
+kernel and elongated tiles cost fewer pairs for typical splat radii.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import segments
+from ..ops.projection import ProjectedSplats
+
+TILE_H = 8
+TILE_W = 128
+
+# pair feature-row layout, shape (NUM_FIELDS, P); padded to a sublane multiple
+F_MEAN_X, F_MEAN_Y = 0, 1
+F_CONIC_A, F_CONIC_B, F_CONIC_C = 2, 3, 4
+F_COL_R, F_COL_G, F_COL_B, F_ALPHA = 5, 6, 7, 8
+F_NRM_X, F_NRM_Y, F_NRM_Z = 9, 10, 11
+F_WS_X, F_WS_Y, F_WS_Z = 12, 13, 14
+F_DEPTH = 15
+F_METAL, F_ROUGH = 16, 17
+F_AX_MAJ_X, F_AX_MAJ_Y, F_AX_MIN_X, F_AX_MIN_Y = 18, 19, 20, 21
+F_VALID = 22
+NUM_FIELDS = 24   # logical fields
+# Physical pair-record width. HBM lane-tiles arrays to 128 floats anyway, so a
+# (P, 128) buffer costs no more memory than (P, 24) — and it makes every
+# (CHUNK, PAIR_WIDTH) DMA slice tiling-aligned (Mosaic requires lane slices in
+# multiples of 128).
+PAIR_WIDTH = 128
+
+
+CHUNK = 128  # compositing kernel DMA granularity; tile ranges are aligned
+# to CHUNK so each tile's backward gradient writes are disjoint.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BinnedSplats:
+    """Per-tile depth-ordered splat pair lists in a CHUNK-aligned layout:
+    tile k owns padded slots [tile_starts[k], tile_starts[k+1]) (a multiple
+    of CHUNK wide) of which the first tile_counts[k] are live pairs."""
+
+    pair_data: jax.Array    # (P, PAIR_WIDTH) f32, sorted by (tile, depth rank)
+    pair_splat: jax.Array   # (P,) int32 source splat index (-1 = dead slot)
+    tile_starts: jax.Array  # (num_tiles + 1,) int32, CHUNK-aligned
+    tile_counts: jax.Array  # (num_tiles,) int32 live pairs per tile
+    num_pairs: jax.Array    # scalar int32 (live pairs before padding)
+
+    @property
+    def capacity(self):
+        return self.pair_data.shape[0]
+
+
+def tiles_for(width: int, height: int) -> tuple[int, int]:
+    return -(-height // TILE_H), -(-width // TILE_W)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "pair_capacity", "max_tiles_per_splat"))
+def bin_splats(
+    proj: ProjectedSplats,
+    width: int,
+    height: int,
+    pair_capacity: int,
+    max_tiles_per_splat: int = 0,
+) -> BinnedSplats:
+    """Build depth-ordered per-tile pair lists from projected splats."""
+    n = proj.capacity
+    ty, tx = tiles_for(width, height)
+    num_tiles = ty * tx
+    res_half = jnp.asarray([width, height], jnp.float32) * 0.5
+
+    mean_px = (proj.mean_ndc + 1.0) * res_half  # GL window coords, y up
+    # parallelogram extent per axis: |maj| + |min| componentwise
+    ext = jnp.abs(proj.axes_px[:, 0]) + jnp.abs(proj.axes_px[:, 1])  # (N, 2)
+
+    # convert the y range to row coordinates (row 0 = top of the image)
+    x_lo = mean_px[:, 0] - ext[:, 0]
+    x_hi = mean_px[:, 0] + ext[:, 0]
+    row_c = jnp.asarray(height, jnp.float32) - mean_px[:, 1]
+    y_lo = row_c - ext[:, 1]
+    y_hi = row_c + ext[:, 1]
+
+    tx0 = jnp.clip(jnp.floor(x_lo / TILE_W).astype(jnp.int32), 0, tx - 1)
+    tx1 = jnp.clip(jnp.floor(x_hi / TILE_W).astype(jnp.int32), 0, tx - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), 0, ty - 1)
+    ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), 0, ty - 1)
+
+    # cull splats whose extent misses the viewport entirely
+    on_screen = (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
+    valid = proj.valid & on_screen
+
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    count = jnp.where(valid, span_x * span_y, 0)
+    if max_tiles_per_splat:
+        count = jnp.minimum(count, max_tiles_per_splat)
+
+    # global depth ranks: one sort, like the reference's radix pass
+    order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    # expand splats to (tile, rank) pairs via slot allocation
+    offsets, total = segments.alloc_slots(count, pair_capacity)
+    owner, local, in_budget = segments.expand_to_slots(offsets, count, pair_capacity)
+    in_budget = jnp.logical_and(
+        in_budget, jnp.arange(pair_capacity, dtype=jnp.int32) < total
+    )
+
+    sx = jnp.maximum(span_x[owner], 1)
+    tile_x = tx0[owner] + local % sx
+    tile_y = ty0[owner] + local // sx
+    tile_id = jnp.where(in_budget, tile_y * tx + tile_x, num_tiles)
+    pair_rank = jnp.where(in_budget, rank[owner], n)
+
+    # one lexicographic sort orders every tile's list front-to-back
+    tile_sorted, _, splat_sorted = jax.lax.sort(
+        (tile_id, pair_rank, owner), num_keys=2
+    )
+
+    contiguous_starts = segments.segment_starts(tile_sorted, num_tiles)
+    counts = contiguous_starts[1:] - contiguous_starts[:-1]
+
+    # re-lay each tile's run into a CHUNK-aligned padded slot range so the
+    # compositing kernel's per-tile DMA windows never overlap a neighbor
+    padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    padded_capacity = pair_capacity + num_tiles * CHUNK
+    padded_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )
+    pair_live = tile_sorted < num_tiles
+    dest = jnp.where(
+        pair_live,
+        padded_offsets[jnp.minimum(tile_sorted, num_tiles - 1)]
+        + (jnp.arange(pair_capacity, dtype=jnp.int32) - contiguous_starts[jnp.minimum(tile_sorted, num_tiles - 1)]),
+        padded_capacity,  # dead pairs dropped via out-of-range scatter
+    )
+
+    # gather per-pair splat records into the field-major layout
+    g = lambda a: a[splat_sorted]
+    live = pair_live.astype(jnp.float32)
+    mean_g = g(mean_px)
+    conic_g = g(proj.conic)
+    color_g = g(proj.color)
+    normal_g = g(proj.normal)
+    ws_g = g(proj.wspos)
+    axes_g = g(proj.axes_px)
+    rows = [
+        mean_g[:, 0], mean_g[:, 1],
+        conic_g[:, 0], conic_g[:, 1], conic_g[:, 2],
+        color_g[:, 0], color_g[:, 1], color_g[:, 2], color_g[:, 3],
+        normal_g[:, 0], normal_g[:, 1], normal_g[:, 2],
+        ws_g[:, 0], ws_g[:, 1], ws_g[:, 2],
+        g(proj.depth),
+        g(proj.pbr)[:, 0], g(proj.pbr)[:, 1],
+        axes_g[:, 0, 0], axes_g[:, 0, 1], axes_g[:, 1, 0], axes_g[:, 1, 1],
+        live,
+        jnp.zeros_like(live),
+    ]
+    stacked = jnp.stack(rows, axis=1)  # (pair_capacity, NUM_FIELDS)
+    pair_data = (
+        jnp.zeros((padded_capacity, PAIR_WIDTH), jnp.float32)
+        .at[dest, :NUM_FIELDS]
+        .set(stacked, mode="drop")
+    )
+    pair_splat = (
+        jnp.full((padded_capacity,), -1, jnp.int32)
+        .at[dest]
+        .set(splat_sorted, mode="drop")
+    )
+
+    return BinnedSplats(
+        pair_data=pair_data,
+        pair_splat=pair_splat,
+        tile_starts=padded_offsets,
+        tile_counts=counts,
+        num_pairs=total,
+    )

@@ -1,0 +1,91 @@
+"""Production tile-binned rasterizer: projection -> sort-based binning ->
+Pallas compositing. Drop-in replacement for rasterize_dense (same G-buffer
+dict), validated against it in tests.
+
+The full path replaces the reference's prepass -> radix sort -> instanced
+draw frame loop (SURVEY.md section 3.3) with three dense tensor stages that
+jit into one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.projection import ProjectedSplats
+from ..types import RenderMode
+from . import binning as B
+from . import composite as C
+
+
+def default_pair_capacity(n_splats: int, factor: int = 8) -> int:
+    """Heuristic pair budget: splats overlap a handful of (8, 128) tiles on
+    average; callers with telemetry can size precisely."""
+    return max(n_splats * factor, 1 << 14)
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "pair_capacity", "interpret", "render_mode"),
+)
+def rasterize_tiled(
+    proj: ProjectedSplats,
+    width: int,
+    height: int,
+    pair_capacity: int = 0,
+    render_mode: RenderMode = RenderMode.ALBEDO,
+    interpret: bool | None = None,
+):
+    """Returns the same dict as rasterize_dense: albedo/position/normal/
+    depth/metal_rough (H, W, 4) + transmittance (H, W)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    if not pair_capacity:
+        pair_capacity = default_pair_capacity(proj.capacity)
+
+    if int(render_mode) == int(RenderMode.OVERDRAW):
+        # additive overdraw visualization is cheap and rare: count coverage
+        # via the dense path semantics using binned g>0 masks would need a
+        # separate kernel; reuse the dense implementation instead.
+        from .rasterize import rasterize_dense
+
+        return rasterize_dense(proj, width, height, render_mode=render_mode)
+
+    ty, tx = B.tiles_for(width, height)
+    binned = B.bin_splats(proj, width, height, pair_capacity)
+    height_arr = jnp.asarray([height], jnp.int32)
+    out = C.composite_tiles(
+        binned.pair_data,
+        binned.tile_starts,
+        binned.tile_counts,
+        height_arr,
+        ty,
+        tx,
+        interpret,
+    )
+    out = out[:, :height, :width]
+
+    def chans(*idx):
+        return jnp.stack([out[i] for i in idx], axis=-1)
+
+    return {
+        "albedo": chans(0, 1, 2, 3),
+        "position": chans(4, 5, 6, 7),
+        "normal": jnp.stack(
+            [out[8], out[9], out[10], out[3]], axis=-1
+        ),
+        "depth": jnp.stack([out[11], out[11], out[11], out[3]], axis=-1),
+        "metal_rough": jnp.stack(
+            [out[12], out[13], jnp.zeros_like(out[12]), out[7]], axis=-1
+        ),
+        "transmittance": 1.0 - out[3],
+    }

@@ -1,0 +1,155 @@
+"""Tiled Pallas rasterizer vs the dense reference implementation: forward
+allclose + hand-written VJP vs autodiff gradients (SURVEY.md section 4
+item 3; BASELINE north star 'pixel gradients allclose')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mesh2splat_tpu.types import RenderMode, SplatFormat, Splats, make_camera
+from mesh2splat_tpu.ops.projection import project_splats
+from mesh2splat_tpu.render.rasterize import rasterize_dense
+from mesh2splat_tpu.render.tiled import rasterize_tiled
+from mesh2splat_tpu.render import binning
+
+W, H = 256, 64  # 2x2 grid of (8,128) tiles vertically stacked 8x
+
+
+def make_cam(w=W, h=H):
+    return make_camera(
+        eye=[0, 0, 5], center=[0, 0, 0], up=[0, 1, 0],
+        fov_y_rad=np.pi / 3, width=w, height=h,
+    )
+
+
+def random_splats(n, seed=0, spread=1.0, alpha_max=0.95):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return Splats(
+        pos=jnp.asarray(pos),
+        color=jnp.asarray(
+            rng.uniform(0.05, 1.0, (n, 4)).astype(np.float32)
+            * np.array([1, 1, 1, alpha_max], np.float32)
+        ),
+        scale=jnp.asarray(rng.uniform(0.02, 0.3, (n, 3)).astype(np.float32)),
+        normal=jnp.asarray(
+            (lambda v: v / np.linalg.norm(v, axis=-1, keepdims=True))(
+                rng.normal(size=(n, 3))
+            ).astype(np.float32)
+        ),
+        quat=jnp.asarray(q),
+        pbr=jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32)),
+        valid=jnp.ones((n,), bool),
+    )
+
+
+def project(sp, w=W, h=H):
+    return project_splats(
+        sp, make_cam(w, h), std_dev=1.0,
+        splat_format=SplatFormat.PLY_3DGS, has_pbr=True,
+    )
+
+
+@pytest.mark.parametrize("n,seed", [(40, 0), (200, 1)])
+def test_tiled_matches_dense_forward(n, seed):
+    proj = project(random_splats(n, seed))
+    dense = rasterize_dense(proj, W, H)
+    tiled = rasterize_tiled(proj, W, H, interpret=True)
+    for key in ("albedo", "position", "normal", "depth", "metal_rough"):
+        np.testing.assert_allclose(
+            np.asarray(tiled[key]), np.asarray(dense[key]), atol=5e-3,
+            err_msg=key,
+        )
+
+
+def test_tiled_early_exit_opaque():
+    """Fully opaque stacked splats: early-out must not change the image
+    beyond the 1/255 threshold."""
+    sp = random_splats(100, 3, spread=0.2, alpha_max=1.0)
+    proj = project(sp)
+    dense = rasterize_dense(proj, W, H)
+    tiled = rasterize_tiled(proj, W, H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(tiled["albedo"]), np.asarray(dense["albedo"]), atol=2e-2
+    )
+
+
+def test_binning_pairs_cover_dense_coverage():
+    """Every pixel the dense rasterizer touches must lie in a tile whose
+    pair list contains that splat."""
+    sp = random_splats(30, 2)
+    proj = project(sp)
+    binned = binning.bin_splats(proj, W, H, pair_capacity=30 * 16)
+    counts = np.asarray(binned.tile_counts)
+    dense = rasterize_dense(proj, W, H)
+    covered = np.asarray(dense["albedo"])[..., 3] > 0
+    ty, tx = binning.tiles_for(W, H)
+    tiles_with_coverage = np.zeros((ty, tx), bool)
+    for r in range(H):
+        for c in range(W):
+            if covered[r, c]:
+                tiles_with_coverage[r // 8, c // 128] = True
+    assert np.all(counts.reshape(ty, tx)[tiles_with_coverage] > 0)
+
+
+def test_tiled_gradients_match_dense():
+    """The hand-written backward kernel must agree with XLA autodiff through
+    the dense reference implementation."""
+    sp = random_splats(25, 4, alpha_max=0.9)
+    wgt = jnp.asarray(
+        np.random.default_rng(9).uniform(0, 1, (H, W, 4)).astype(np.float32)
+    )
+
+    def loss_via(rasterizer):
+        def f(pos, color):
+            s2 = Splats(pos=pos, color=color, scale=sp.scale, normal=sp.normal,
+                        quat=sp.quat, pbr=sp.pbr, valid=sp.valid)
+            proj = project(s2)
+            out = rasterizer(proj)
+            return (
+                jnp.sum(out["albedo"] * wgt)
+                + 0.3 * jnp.sum(out["normal"][..., :3])
+                + 0.2 * jnp.sum(out["position"][..., :3] * wgt[..., :3])
+                + 0.1 * jnp.sum(out["depth"][..., 0])
+                + 0.1 * jnp.sum(out["metal_rough"][..., :2])
+            )
+        return f
+
+    dense_fn = loss_via(lambda p: rasterize_dense(p, W, H))
+    tiled_fn = loss_via(lambda p: rasterize_tiled(p, W, H, interpret=True))
+
+    gd_pos, gd_col = jax.grad(dense_fn, argnums=(0, 1))(sp.pos, sp.color)
+    gt_pos, gt_col = jax.grad(tiled_fn, argnums=(0, 1))(sp.pos, sp.color)
+
+    np.testing.assert_allclose(
+        np.asarray(gt_col), np.asarray(gd_col), rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt_pos), np.asarray(gd_pos), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_tiled_gradient_finite_differences():
+    """Direct finite-difference check of the custom VJP (independent of the
+    dense implementation)."""
+    sp = random_splats(10, 5, alpha_max=0.8)
+
+    def f(color):
+        s2 = Splats(pos=sp.pos, color=color, scale=sp.scale, normal=sp.normal,
+                    quat=sp.quat, pbr=sp.pbr, valid=sp.valid)
+        out = rasterize_tiled(project(s2), W, H, interpret=True)
+        return jnp.sum(out["albedo"][..., 0] ** 2)
+
+    g = jax.grad(f)(sp.color)
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        i = rng.integers(0, 10)
+        j = rng.integers(0, 4)
+        e = np.zeros((10, 4), np.float32)
+        e[i, j] = eps
+        fd = (float(f(sp.color + jnp.asarray(e))) - float(f(sp.color - jnp.asarray(e)))) / (2 * eps)
+        assert abs(fd - float(g[i, j])) < 5e-2 * max(1.0, abs(fd)), (i, j, fd, float(g[i, j]))
