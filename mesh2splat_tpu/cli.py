@@ -1,0 +1,174 @@
+"""Command-line interface: convert / render / batch.
+
+The reference's closest equivalent is the ImGui batch-conversion queue
+(reference: src/imGuiUi/ImGuiUI.cpp:550-615 enqueueFolder/popNextBatchItem +
+the mediator's Idle->Loading->Converting->Exporting state machine,
+guiRendererConcreteMediator.cpp:146-251). Its unused ``InputParser`` CLI class
+(src/utils/argparser.hpp, never instantiated) becomes a real argparse CLI.
+
+Usage:
+  python -m mesh2splat_tpu.cli convert in.glb out.ply [--resolution 512]
+      [--format 0|1|2] [--std 1.0] [--layers 6]
+  python -m mesh2splat_tpu.cli render in.{glb,ply} out.png [--mode final]
+      [--width 1280] [--height 720] [--eye x,y,z]
+  python -m mesh2splat_tpu.cli batch in_dir out_dir [--resolution 512] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="mesh2splat_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--resolution", type=int, default=512,
+                        help="conversion resolutionTarget (16..4096)")
+        sp.add_argument("--layers", type=int, default=6,
+                        help="overlap budget per texel (capacity = res^2 * layers)")
+        sp.add_argument("--std", type=float, default=1.0,
+                        help="gaussian std slider value 0.1..2.0")
+        sp.add_argument("--format", type=int, default=0, choices=(0, 1, 2),
+                        help="PLY format: 0=3DGS, 1=PBR, 2=compressed PBR")
+
+    c = sub.add_parser("convert", help="glb -> splat PLY")
+    c.add_argument("input")
+    c.add_argument("output")
+    common(c)
+
+    r = sub.add_parser("render", help="glb or ply -> image")
+    r.add_argument("input")
+    r.add_argument("output")
+    common(r)
+    r.add_argument("--mode", default="albedo",
+                   choices=("albedo", "depth", "normal", "geometry",
+                            "overdraw", "pbr", "final"))
+    r.add_argument("--width", type=int, default=1280)
+    r.add_argument("--height", type=int, default=720)
+    r.add_argument("--eye", default="0,0,3")
+    r.add_argument("--center", default="0,0,0")
+    r.add_argument("--fov", type=float, default=60.0)
+    r.add_argument("--light", default="2,2,2")
+    r.add_argument("--shadows", action="store_true")
+
+    b = sub.add_parser("batch", help="convert every .glb in a folder")
+    b.add_argument("input_dir")
+    b.add_argument("output_dir")
+    common(b)
+    return p
+
+
+def _convert_file(path, args):
+    import jax.numpy as jnp
+
+    from .io import gltf
+    from .ops.conversion import ConversionConfig, convert
+    from .types import concat_splats
+
+    prims = gltf.load_glb(path)
+    if not prims:
+        raise ValueError(f"no triangle primitives in {path}")
+    cfg = ConversionConfig(
+        resolution=args.resolution, layers=args.layers, gaussian_std=args.std
+    )
+    parts = []
+    for prim in prims:
+        mesh, mat = gltf.to_device(prim)
+        lo, hi = prim.bbox()
+        parts.append(convert(mesh, mat, jnp.asarray(lo), jnp.asarray(hi), cfg))
+    splats = parts[0] if len(parts) == 1 else concat_splats(parts)
+    return splats, cfg
+
+
+def cmd_convert(args):
+    from .io import ply
+
+    t0 = time.perf_counter()
+    splats, cfg = _convert_file(args.input, args)
+    count = int(splats.count())
+    nbytes = ply.write_ply(
+        args.output, ply.splats_to_arrays(splats), fmt=args.format,
+        scale_multiplier=cfg.scale_multiplier,
+    )
+    dt = time.perf_counter() - t0
+    print(f"{args.input} -> {args.output}: {count} gaussians, "
+          f"{nbytes / 1e6:.1f} MB, {dt * 1e3:.0f} ms")
+
+
+def cmd_render(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from .io import ply
+    from .render.lighting import PointLight
+    from .render.pipeline import FrameConfig, render_frame
+    from .types import RenderMode, SplatFormat, make_camera
+
+    mode = RenderMode[args.mode.upper()]
+    suffix = pathlib.Path(args.input).suffix.lower()
+    if suffix == ".ply":
+        arrs, has_pbr = ply.read_ply(args.input)
+        splats = ply.arrays_to_splats(arrs)
+        fmt = SplatFormat.PLY_3DGS
+        res_target = 1  # scale already in real units
+    else:
+        splats, cfg = _convert_file(args.input, args)
+        has_pbr = True
+        fmt = SplatFormat.MESH2SPLAT
+        res_target = args.resolution
+
+    eye = [float(x) for x in args.eye.split(",")]
+    center = [float(x) for x in args.center.split(",")]
+    cam = make_camera(eye=eye, center=center, up=[0, 1, 0],
+                      fov_y_rad=np.deg2rad(args.fov),
+                      width=args.width, height=args.height)
+    fc = FrameConfig(
+        width=args.width, height=args.height, render_mode=mode,
+        splat_format=fmt, gaussian_std=args.std, resolution_target=res_target,
+        shadows=args.shadows, has_pbr=has_pbr,
+    )
+    lp = [float(x) for x in args.light.split(",")]
+    light = PointLight(position=jnp.asarray(lp), color=jnp.ones(3),
+                       intensity=jnp.asarray(10.0))
+    img = np.asarray(jnp.clip(render_frame(splats, cam, fc, light=light), 0, 1))
+    Image.fromarray((img * 255).astype(np.uint8)).save(args.output)
+    print(f"{args.input} -> {args.output} [{args.mode}] {img.shape[1]}x{img.shape[0]}")
+
+
+def cmd_batch(args):
+    """Folder queue like the reference's batch state machine; per-item
+    failures are caught and reported, like markBatchItemDone/Failed
+    (guiRendererConcreteMediator.cpp:170-179)."""
+    in_dir = pathlib.Path(args.input_dir)
+    out_dir = pathlib.Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    items = sorted(in_dir.glob("*.glb"))
+    if not items:
+        print(f"no .glb files in {in_dir}")
+        return
+    ok = failed = 0
+    for item in items:
+        out = out_dir / (item.stem + ".ply")
+        try:
+            a = argparse.Namespace(**vars(args), input=str(item), output=str(out))
+            cmd_convert(a)
+            ok += 1
+        except Exception as e:  # noqa: BLE001 — per-item isolation
+            print(f"FAILED {item.name}: {e}", file=sys.stderr)
+            failed += 1
+    print(f"batch done: {ok} converted, {failed} failed")
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    {"convert": cmd_convert, "render": cmd_render, "batch": cmd_batch}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

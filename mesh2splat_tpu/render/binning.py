@@ -158,15 +158,26 @@ def bin_splats(
         padded_capacity,  # dead pairs dropped via out-of-range scatter
     )
 
-    # gather per-pair splat records into the field-major layout
-    g = lambda a: a[splat_sorted]
-    live = pair_live.astype(jnp.float32)
+    # Invert the pair -> padded-slot map with a 1-D scatter (fast on TPU),
+    # then build the padded records with row GATHERS. A direct 2-D row
+    # scatter (.at[dest, :F].set) serializes on TPU and costs seconds.
+    inv = (
+        jnp.full((padded_capacity,), pair_capacity, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(pair_capacity, dtype=jnp.int32), mode="drop")
+    )
+    live = inv < pair_capacity  # (padded_capacity,)
+    inv_safe = jnp.minimum(inv, pair_capacity - 1)
+    sp_idx = splat_sorted[inv_safe]  # (padded_capacity,)
+
+    g = lambda a: a[sp_idx]
     mean_g = g(mean_px)
     conic_g = g(proj.conic)
     color_g = g(proj.color)
     normal_g = g(proj.normal)
     ws_g = g(proj.wspos)
     axes_g = g(proj.axes_px)
+    livef = live.astype(jnp.float32)
     rows = [
         mean_g[:, 0], mean_g[:, 1],
         conic_g[:, 0], conic_g[:, 1], conic_g[:, 2],
@@ -176,20 +187,13 @@ def bin_splats(
         g(proj.depth),
         g(proj.pbr)[:, 0], g(proj.pbr)[:, 1],
         axes_g[:, 0, 0], axes_g[:, 0, 1], axes_g[:, 1, 0], axes_g[:, 1, 1],
-        live,
-        jnp.zeros_like(live),
+        livef,
+        jnp.zeros_like(livef),
     ]
-    stacked = jnp.stack(rows, axis=1)  # (pair_capacity, NUM_FIELDS)
-    pair_data = (
-        jnp.zeros((padded_capacity, PAIR_WIDTH), jnp.float32)
-        .at[dest, :NUM_FIELDS]
-        .set(stacked, mode="drop")
-    )
-    pair_splat = (
-        jnp.full((padded_capacity,), -1, jnp.int32)
-        .at[dest]
-        .set(splat_sorted, mode="drop")
-    )
+    stacked = jnp.stack(rows, axis=1)  # (padded_capacity, NUM_FIELDS)
+    stacked = jnp.where(live[:, None], stacked, 0.0)
+    pair_data = jnp.pad(stacked, ((0, 0), (0, PAIR_WIDTH - NUM_FIELDS)))
+    pair_splat = jnp.where(live, sp_idx, -1)
 
     return BinnedSplats(
         pair_data=pair_data,

@@ -1,0 +1,225 @@
+"""Omnidirectional (cubemap) splat shadows + PCF sampling.
+
+Replaces the reference's GaussianShadowPass (reference:
+src/renderer/renderPasses/GaussianShadowPass.cpp:83-236 and
+gaussianPointShadowMappingCS/ShadowVS/ShadowPS.glsl): each splat is binned to
+the cubemap face of its dominant light-space direction (G9:58-69), its quad
+is projected with the same EWA math against that face's 90-degree camera, and
+the face depth map stores the MIN radial distance |ws - light| / far over
+covering quads (ShadowPS.glsl:17 + hardware depth test).
+
+Min-compositing needs no depth sort and no alpha — order-independent — so the
+TPU formulation is a chunked scan with a running per-pixel minimum.
+
+PCF: the 20-tap disk kernel of the deferred shader
+(gaussianSplattingDeferredPS.glsl:70-99), bias 0.05, disk radius 0.025.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Camera, Splats, look_at, perspective
+from ..ops.projection import project_splats
+from ..types import SplatFormat
+
+# GL cubemap face order: +X, -X, +Y, -Y, +Z, -Z
+_FACE_DIRS = np.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    np.float32,
+)
+_FACE_UPS = np.array(
+    [[0, -1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1], [0, -1, 0], [0, -1, 0]],
+    np.float32,
+)
+
+# reference PCF taps (deferredPS:72-79)
+_PCF_OFFSETS = np.array(
+    [
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 0], [1, -1, 0], [-1, -1, 0], [-1, 1, 0],
+        [1, 0, 1], [-1, 0, 1], [1, 0, -1], [-1, 0, -1],
+        [0, 1, 1], [0, -1, 1], [0, -1, -1], [0, 1, -1],
+    ],
+    np.float32,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShadowCubemap:
+    """6 x (S, S) min radial-distance maps, values in [0, 1] (x far)."""
+
+    faces: jax.Array      # (6, S, S) f32
+    light_pos: jax.Array  # (3,)
+    far: jax.Array        # scalar
+
+    @property
+    def resolution(self):
+        return self.faces.shape[1]
+
+
+def face_cameras(light_pos, far, size: int, near: float = 0.1):
+    """Traceable: rotation blocks are constants per face; only the
+    translation column depends on the (possibly traced) light position."""
+    light_pos = jnp.asarray(light_pos, jnp.float32)
+    cams = []
+    for i in range(6):
+        rot = look_at(np.zeros(3), _FACE_DIRS[i], _FACE_UPS[i])  # constant
+        m = jnp.asarray(rot).at[:3, 3].set(-jnp.asarray(rot[:3, :3]) @ light_pos)
+        cams.append(
+            Camera(
+                world_to_view=m,
+                view_to_clip=jnp.asarray(
+                    perspective(np.pi / 2, 1.0, near, 1e4)
+                ),
+                near=jnp.float32(near),
+                far=jnp.float32(1e4),
+                width=size,
+                height=size,
+            )
+        )
+    return cams
+
+
+def dominant_face(d):
+    """Face index by dominant direction component (G9:58-69).
+    d: (..., 3) -> int32 face 0..5 in GL order."""
+    ax = jnp.abs(d)
+    axis = jnp.argmax(ax, axis=-1)
+    comp = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0]
+    return (axis * 2 + (comp < 0).astype(jnp.int32)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("size", "chunk"))
+def render_shadow_cubemap(
+    splats: Splats,
+    light_pos,
+    far,
+    std_dev,
+    size: int = 256,
+    chunk: int = 256,
+) -> ShadowCubemap:
+    """Render all 6 faces. The reference uses 1024^2 faces
+    (GaussianShadowPass.cpp:14-19); size is configurable here."""
+    light_pos = jnp.asarray(light_pos, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    splat_face = dominant_face(splats.pos - light_pos)
+    cams = face_cameras(light_pos, far, size)
+
+    radial = (
+        jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
+    )  # ShadowPS.glsl:17
+
+    faces = []
+    for f in range(6):
+        in_face = jnp.logical_and(splats.valid, splat_face == f)
+        sub = Splats(
+            pos=splats.pos, color=splats.color, scale=splats.scale,
+            normal=splats.normal, quat=splats.quat, pbr=splats.pbr,
+            valid=in_face,
+        )
+        proj = project_splats(
+            sub, cams[f], std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
+        )
+        faces.append(_min_rasterize_face(proj, radial, size, chunk))
+    return ShadowCubemap(
+        faces=jnp.stack(faces), light_pos=light_pos, far=far
+    )
+
+
+def _min_rasterize_face(proj, radial, size: int, chunk: int):
+    """Per-pixel min of radial depth over covering quad parallelograms —
+    the depth-test semantics of the 6 instanced shadow draws."""
+    n = proj.capacity
+    res_half = size * 0.5
+    mean_px = (proj.mean_ndc + 1.0) * res_half
+    axes = proj.axes_px
+    valid = proj.valid
+
+    xs = jnp.arange(size, dtype=jnp.float32) + 0.5
+    ys = jnp.asarray(size, jnp.float32) - (jnp.arange(size, dtype=jnp.float32) + 0.5)
+    px = jnp.broadcast_to(xs[None, :], (size, size))
+    py = jnp.broadcast_to(ys[:, None], (size, size))
+
+    pad = (-n) % chunk
+
+    def chunked(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)).reshape(
+            (n + pad) // chunk, chunk, *a.shape[1:]
+        )
+
+    xs_c = (chunked(mean_px), chunked(axes), chunked(radial),
+            chunked(valid.astype(jnp.float32)))
+
+    def body(depth_min, cvals):
+        c_mean, c_axes, c_rad, c_val = cvals
+        fx = px[None] - c_mean[:, 0, None, None]
+        fy = py[None] - c_mean[:, 1, None, None]
+        mj = c_axes[:, 0]
+        mn = c_axes[:, 1]
+        det = mj[:, 0] * mn[:, 1] - mn[:, 0] * mj[:, 1]
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)[:, None, None]
+        u = (fx * mn[:, 1, None, None] - mn[:, 0, None, None] * fy) / det
+        v = (mj[:, 0, None, None] * fy - fx * mj[:, 1, None, None]) / det
+        inside = (jnp.abs(u) <= 1) & (jnp.abs(v) <= 1) & (c_val[:, None, None] > 0.5)
+        z = jnp.where(inside, c_rad[:, None, None], jnp.inf)
+        return jnp.minimum(depth_min, jnp.min(z, axis=0)), None
+
+    depth, _ = jax.lax.scan(
+        body, jnp.full((size, size), jnp.inf, jnp.float32), xs_c
+    )
+    return jnp.where(jnp.isinf(depth), 1.0, depth)
+
+
+def sample_cubemap(faces: jax.Array, directions: jax.Array) -> jax.Array:
+    """Nearest-sample a (6, S, S) cubemap by direction (..., 3), GL face/uv
+    conventions (reference cube math: src/utils/utils.cpp:182-268)."""
+    s = faces.shape[1]
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    face = dominant_face(directions)
+
+    ma = jnp.maximum(jnp.maximum(ax, ay), az)
+    ma = jnp.maximum(ma, 1e-12)
+
+    # (sc, tc) per GL spec
+    sc = jnp.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+        [-z, z, x, x, x, -x],
+    )
+    tc = jnp.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+        [-y, -y, z, -z, -y, -y],
+    )
+    u = (sc / ma + 1.0) * 0.5
+    v = (tc / ma + 1.0) * 0.5
+    # v grows downward in texture space; face textures here are stored with
+    # row 0 = top which matches v=0 at top after the render flip
+    ui = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
+    vi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
+    return faces[face, vi, ui]
+
+
+def pcf_shadow_factor(
+    cubemap: ShadowCubemap,
+    ws_pos: jax.Array,   # (..., 3)
+    bias: float = 0.05,
+    disk_radius: float = 0.025,
+) -> jax.Array:
+    """20-tap PCF (deferredPS:70-99). Returns shadow in [0, 1]."""
+    light_dir = ws_pos - cubemap.light_pos
+    current = jnp.linalg.norm(light_dir, axis=-1)
+    sample_dir = light_dir / (current[..., None] + 1e-12)
+
+    offsets = jnp.asarray(_PCF_OFFSETS) * disk_radius  # (20, 3)
+    dirs = sample_dir[..., None, :] + offsets  # (..., 20, 3)
+    closest = sample_cubemap(cubemap.faces, dirs) * cubemap.far  # (..., 20)
+    hit = (current[..., None] - bias > closest).astype(jnp.float32)
+    return jnp.mean(hit, axis=-1)

@@ -1,0 +1,127 @@
+"""Scene: the user-facing orchestration API.
+
+Mirrors the reference's SceneManager + mediator roles (reference:
+src/utils/SceneManager.{hpp,cpp}, guiRendererConcreteMediator.cpp) as a
+functional façade: load a model or PLY, convert, render, export — without the
+GL/ImGui machinery.
+
+    scene = Scene.from_glb("helmet.glb")
+    splats = scene.convert(resolution=512)
+    img = scene.render(splats, eye=[0, 0, 3])
+    scene.export_ply(splats, "helmet.ply", fmt=1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import numpy as np
+
+from .io import gltf, ply
+from .ops.conversion import ConversionConfig, convert
+from .types import (
+    Material,
+    RenderMode,
+    SplatFormat,
+    Splats,
+    TriangleMesh,
+    concat_splats,
+    make_camera,
+)
+
+
+@dataclasses.dataclass
+class Scene:
+    """A loaded asset: list of primitives + bookkeeping."""
+
+    primitives: list          # [(TriangleMesh, Material, GltfPrimitive)]
+    splat_format: SplatFormat = SplatFormat.MESH2SPLAT
+    has_pbr: bool = True
+    last_config: ConversionConfig | None = None
+    imported_splats: Splats | None = None
+
+    # ------------------------------------------------------------------ load
+
+    @staticmethod
+    def from_glb(path) -> "Scene":
+        prims = gltf.load_glb(path)
+        if not prims:
+            raise ValueError(f"no triangle primitives in {path}")
+        loaded = []
+        for pr in prims:
+            mesh, mat = gltf.to_device(pr)
+            loaded.append((mesh, mat, pr))
+        return Scene(primitives=loaded)
+
+    @staticmethod
+    def from_ply(path) -> "Scene":
+        """Import a splat PLY (reference: loadPly path, parsers.cpp:516-629).
+        The ``has_pbr`` probe mirrors RenderContext.hpp:66."""
+        arrs, has_pbr = ply.read_ply(path)
+        sc = Scene(primitives=[], splat_format=SplatFormat.PLY_3DGS,
+                   has_pbr=has_pbr)
+        sc.imported_splats = ply.arrays_to_splats(arrs)
+        return sc
+
+    # --------------------------------------------------------------- convert
+
+    def convert(self, resolution: int = 512, layers: int = 6,
+                gaussian_std: float = 1.0) -> Splats:
+        if not self.primitives:
+            raise ValueError("Scene has no mesh primitives (PLY import?)")
+        cfg = ConversionConfig(
+            resolution=resolution, layers=layers, gaussian_std=gaussian_std
+        )
+        import jax.numpy as jnp
+
+        parts = []
+        for mesh, mat, pr in self.primitives:
+            lo, hi = pr.bbox()
+            parts.append(convert(mesh, mat, jnp.asarray(lo), jnp.asarray(hi), cfg))
+        self.last_config = cfg
+        return parts[0] if len(parts) == 1 else concat_splats(parts)
+
+    # ---------------------------------------------------------------- render
+
+    def render(self, splats: Splats, eye, center=(0, 0, 0), up=(0, 1, 0),
+               width=1280, height=720, fov_deg=60.0,
+               mode: RenderMode = RenderMode.ALBEDO, shadows=False,
+               light=None):
+        from .render.pipeline import FrameConfig, render_frame
+
+        cam = make_camera(eye=list(eye), center=list(center), up=list(up),
+                          fov_y_rad=np.deg2rad(fov_deg),
+                          width=width, height=height)
+        res_target = self.last_config.resolution if self.last_config else 1
+        std = self.last_config.gaussian_std if self.last_config else 1.0
+        fc = FrameConfig(
+            width=width, height=height, render_mode=mode,
+            splat_format=self.splat_format, gaussian_std=std,
+            resolution_target=res_target, shadows=shadows,
+            has_pbr=self.has_pbr,
+        )
+        return render_frame(splats, cam, fc, light=light)
+
+    # ---------------------------------------------------------------- export
+
+    def export_ply(self, splats: Splats, path, fmt: int = 0,
+                   background: bool = False):
+        """Export with the conversion-derived scale multiplier
+        (SceneManager.cpp:668). ``background=True`` reproduces the
+        reference's detached-thread async export (SceneManager.cpp:671-676)
+        and returns the Thread."""
+        mult = (
+            self.last_config.scale_multiplier
+            if self.last_config is not None else 1.0
+        )
+        arrs = ply.splats_to_arrays(splats)  # device->host happens here
+
+        if background:
+            t = threading.Thread(
+                target=ply.write_ply, args=(path, arrs, fmt, mult), daemon=True
+            )
+            t.start()
+            return t
+        ply.write_ply(path, arrs, fmt=fmt, scale_multiplier=mult)
+        return None

@@ -1,0 +1,68 @@
+"""Cubemap shadow + PCF tests (reference H14 + deferredPS:70-99)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mesh2splat_tpu.types import Splats
+from mesh2splat_tpu.render import shadows as SH
+
+
+def blob(pos, scale=0.05, n_pad=0):
+    pos = np.atleast_2d(np.asarray(pos, np.float32))
+    n = pos.shape[0]
+    total = n + n_pad
+    return Splats(
+        pos=jnp.asarray(np.pad(pos, ((0, n_pad), (0, 0)))),
+        color=jnp.asarray(np.tile([1, 1, 1, 1.0], (total, 1)).astype(np.float32)),
+        scale=jnp.full((total, 3), scale),
+        normal=jnp.asarray(np.tile([0, 0, 1.0], (total, 1)).astype(np.float32)),
+        quat=jnp.asarray(np.tile([1.0, 0, 0, 0], (total, 1)).astype(np.float32)),
+        pbr=jnp.zeros((total, 2)),
+        valid=jnp.asarray(np.arange(total) < n),
+    )
+
+
+def test_dominant_face():
+    d = jnp.asarray([
+        [1, 0.1, 0.1], [-1, 0, 0], [0.1, 2, 0], [0, -3, 0.1], [0, 0, 5], [0.1, 0, -4],
+    ])
+    np.testing.assert_array_equal(np.asarray(SH.dominant_face(d)), [0, 1, 2, 3, 4, 5])
+
+
+def test_occluder_casts_shadow():
+    """Splat between light and a query point -> shadowed; the opposite
+    direction -> lit."""
+    light = [0.0, 0.0, 0.0]
+    # occluder at distance 1 along +X; blocker must cover the direction cone
+    sp = blob([[1.0, 0, 0]], scale=0.2)
+    cm = SH.render_shadow_cubemap(sp, light, far=10.0, std_dev=1.0, size=64)
+    # the +X face stores radial depth ~0.1 at its center
+    face_px = np.asarray(cm.faces[0])
+    assert face_px[32, 32] < 0.2
+    # behind the occluder at distance 3 along +X -> in shadow
+    shadow = SH.pcf_shadow_factor(cm, jnp.asarray([[3.0, 0.0, 0.0]]))
+    assert float(shadow[0]) > 0.9
+    # in front of the occluder (distance 0.5) -> lit
+    lit = SH.pcf_shadow_factor(cm, jnp.asarray([[0.5, 0.0, 0.0]]))
+    assert float(lit[0]) < 0.1
+    # other direction (-X) -> lit
+    lit2 = SH.pcf_shadow_factor(cm, jnp.asarray([[-3.0, 0.0, 0.0]]))
+    assert float(lit2[0]) < 0.1
+
+
+def test_empty_scene_all_lit():
+    sp = blob([[1.0, 0, 0]], n_pad=4)
+    sp = Splats(pos=sp.pos, color=sp.color, scale=sp.scale, normal=sp.normal,
+                quat=sp.quat, pbr=sp.pbr, valid=jnp.zeros_like(sp.valid))
+    cm = SH.render_shadow_cubemap(sp, [0, 0, 0], far=10.0, std_dev=1.0, size=32)
+    np.testing.assert_allclose(np.asarray(cm.faces), 1.0)
+    s = SH.pcf_shadow_factor(cm, jnp.asarray([[2.0, 1.0, 0.5]]))
+    assert float(s[0]) == 0.0
+
+
+def test_cubemap_sample_roundtrip():
+    """Value written at a face center reads back for that direction."""
+    faces = jnp.ones((6, 16, 16))
+    faces = faces.at[2, 8, 8].set(0.25)  # +Y face center
+    v = SH.sample_cubemap(faces, jnp.asarray([[0.0, 1.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(v), [0.25])

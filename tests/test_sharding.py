@@ -1,0 +1,136 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md section 4
+item 4): sharded conversion equivalence, data-parallel training step,
+multichip dryrun."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mesh2splat_tpu.types import Material, Splats, TriangleMesh, make_camera
+from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+from mesh2splat_tpu.parallel.sharding import (
+    convert_sharded, make_mesh, shard_batch,
+)
+from mesh2splat_tpu.train.fit import (
+    FitConfig, SplatParams, fit_splats, render_rgb,
+)
+
+
+def quad_mesh():
+    v = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+                 np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]])
+    return TriangleMesh(
+        tri_pos=jnp.asarray(v[tris]),
+        tri_normal=jnp.asarray(np.broadcast_to([0, 0, 1.0], (2, 3, 3)).copy().astype(np.float32)),
+        tri_tangent=jnp.asarray(np.broadcast_to([1, 0, 0, 1.0], (2, 3, 4)).copy().astype(np.float32)),
+        tri_uv=jnp.asarray((v[tris][..., :2] + 0.5).copy()),
+    )
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_conversion_matches_single():
+    """Conversion sharded over triangles must produce the same set of live
+    splats as single-device conversion."""
+    mesh = quad_mesh()
+    cfg = ConversionConfig(resolution=16, layers=2)
+    lo, hi = mesh.bbox()
+    single = convert(mesh, Material.default(), lo, hi, cfg)
+
+    dev_mesh = make_mesh(2)
+    sharded = convert_sharded(mesh, Material.default(), lo, hi, cfg, dev_mesh)
+    assert int(sharded.count()) == int(single.count())
+
+    def live_set(s):
+        v = np.asarray(s.valid)
+        rows = np.concatenate(
+            [np.asarray(s.pos)[v], np.asarray(s.color)[v], np.asarray(s.scale)[v]],
+            axis=-1,
+        )
+        return set(map(tuple, np.round(rows, 5).tolist()))
+
+    assert live_set(sharded) == live_set(single)
+
+
+def test_data_parallel_training_step_matches_single():
+    """pmean'd sharded loss/grads == single-device loss/grads."""
+    from mesh2splat_tpu.train.fit import l2_loss
+
+    mesh = quad_mesh()
+    cfg = ConversionConfig(resolution=8, layers=2)
+    splats = convert(mesh, Material.default(), *mesh.bbox(), cfg)
+    params = SplatParams.from_splats(splats)
+
+    n_views = 8
+    cams = [
+        make_camera(
+            eye=[np.sin(a), 0.2, 1.5 + 0.1 * np.cos(a)], center=[0, 0, 0],
+            up=[0, 1, 0], fov_y_rad=np.pi / 3, width=16, height=16,
+        )
+        for a in np.linspace(0, 1, n_views)
+    ]
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    targets = jnp.zeros((n_views, 16, 16, 3))
+
+    single_loss, single_grads = jax.value_and_grad(l2_loss)(
+        params, splats.valid, cameras, targets, 16, 16,
+        std_dev=cfg.scale_multiplier,
+    )
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dev_mesh = make_mesh(8)
+
+    def sharded(params, valid, cameras, targets):
+        def local(params, valid, cameras, targets):
+            return jax.lax.pmean(
+                l2_loss(params, valid, cameras, targets, 16, 16,
+                        std_dev=cfg.scale_multiplier),
+                "dp",
+            )
+        return shard_map(
+            local, mesh=dev_mesh, in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=P(), check_rep=False,
+        )(params, valid, cameras, targets)
+
+    sh_loss, sh_grads = jax.jit(jax.value_and_grad(sharded))(
+        params, splats.valid, cameras, targets
+    )
+
+    np.testing.assert_allclose(float(sh_loss), float(single_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sh_grads), jax.tree.leaves(single_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fit_splats_reduces_loss():
+    """Optimizing splat color toward a black target must reduce loss."""
+    mesh = quad_mesh()
+    cfg = ConversionConfig(resolution=8, layers=2)
+    splats = convert(mesh, Material.default(), *mesh.bbox(), cfg)
+
+    cams = [
+        make_camera(eye=[0, 0, 2], center=[0, 0, 0], up=[0, 1, 0],
+                    fov_y_rad=np.pi / 3, width=16, height=16)
+    ]
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    targets = jnp.zeros((1, 16, 16, 3))
+
+    _, history = fit_splats(
+        splats, cameras, targets,
+        FitConfig(steps=15, lr=5e-2, width=16, height=16,
+                  std_dev=cfg.scale_multiplier),
+    )
+    assert history[-1] < history[0] * 0.7, history
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
