@@ -166,6 +166,16 @@ def cmd_batch(args):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
+    # backend (this image pins an 'axon' TPU plugin before user code runs).
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     args = _build_parser().parse_args(argv)
     {"convert": cmd_convert, "render": cmd_render, "batch": cmd_batch}[args.cmd](args)
 

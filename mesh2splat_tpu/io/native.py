@@ -1,0 +1,108 @@
+"""ctypes bindings for the native runtime library (csrc/libm2s_native.so).
+
+Auto-builds with make on first use (g++ is baked into the image); every entry
+point has a pure-numpy fallback in io/ply.py, so the framework works without
+a toolchain too.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_CSRC = pathlib.Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libm2s_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists() or (
+            _LIB_PATH.stat().st_mtime
+            < (_CSRC / "ply_codec.cpp").stat().st_mtime
+        ):
+            subprocess.run(
+                ["make", "-s"], cwd=_CSRC, check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.m2s_record_size.restype = ctypes.c_int
+        lib.m2s_record_size.argtypes = [ctypes.c_int]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.m2s_encode.restype = ctypes.c_longlong
+        lib.m2s_encode.argtypes = [
+            ctypes.c_int, ctypes.c_longlong, ctypes.c_float,
+            f32p, f32p, f32p, f32p, f32p, f32p, u8p,
+        ]
+        lib.m2s_decode_float_body.restype = ctypes.c_longlong
+        lib.m2s_decode_float_body.argtypes = [
+            ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, f32p, f32p, f32p, f32p, f32p,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(fmt: int, arrs: dict, scale_multiplier: float) -> bytes | None:
+    """Native body encode; None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = arrs["pos"].shape[0]
+    rec = lib.m2s_record_size(fmt)
+    if rec < 0:
+        return None
+    out = np.empty(n * rec, np.uint8)
+    c = lambda a: np.ascontiguousarray(a, np.float32)
+    written = lib.m2s_encode(
+        fmt, n, float(scale_multiplier),
+        c(arrs["pos"]), c(arrs["color"]), c(arrs["scale"]),
+        c(arrs["normal"]), c(arrs["quat"]), c(arrs["pbr"]), out,
+    )
+    if written != n * rec:
+        return None
+    return out.tobytes()
+
+
+def decode_float_body(
+    n: int, stride_floats: int, offsets: dict, body: np.ndarray
+) -> dict | None:
+    """Native decode of a float-only PLY body (formats 0/1 and generic
+    3DGS). offsets: float offsets per field, -1 if absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    pos = np.empty((n, 3), np.float32)
+    color = np.empty((n, 4), np.float32)
+    scale = np.empty((n, 3), np.float32)
+    normal = np.empty((n, 3), np.float32)
+    quat = np.empty((n, 4), np.float32)
+    pbr = np.empty((n, 2), np.float32)
+    lib.m2s_decode_float_body(
+        n, stride_floats,
+        offsets["xyz"], offsets.get("normal", -1), offsets["fdc"],
+        offsets["opacity"], offsets["scale"], offsets["rot"],
+        offsets.get("metal", -1), offsets.get("rough", -1),
+        np.ascontiguousarray(body, np.float32),
+        pos, color, scale, normal, quat, pbr,
+    )
+    return {
+        "pos": pos, "color": color, "scale": scale,
+        "normal": normal, "quat": quat, "pbr": pbr,
+    }

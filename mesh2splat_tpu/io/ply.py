@@ -161,12 +161,27 @@ def write_ply_compressed(arrs: dict, scale_multiplier: float) -> bytes:
     return _header(n, COMPRESSED_PROPS) + rec.tobytes()
 
 
-def write_ply(path_or_buf, arrs: dict, fmt: int = 0, scale_multiplier: float = 1.0):
-    """Dispatch like savePlyVector (reference: parsers.cpp:631-651)."""
-    writer = {0: write_ply_standard, 1: write_ply_pbr, 2: write_ply_compressed}.get(
-        fmt, write_ply_standard
-    )
-    data = writer(arrs, scale_multiplier)
+_FMT_PROPS = {0: STANDARD_PROPS, 1: PBR_PROPS, 2: COMPRESSED_PROPS}
+
+
+def write_ply(path_or_buf, arrs: dict, fmt: int = 0, scale_multiplier: float = 1.0,
+              use_native: bool = True):
+    """Dispatch like savePlyVector (reference: parsers.cpp:631-651).
+    Uses the C++ codec (csrc/ply_codec.cpp via io/native.py) when available;
+    numpy writers otherwise — outputs are byte-identical (tested)."""
+    data = None
+    if use_native and fmt in _FMT_PROPS:
+        from . import native
+
+        a = _as_np(arrs)
+        body = native.encode(fmt, a, scale_multiplier)
+        if body is not None:
+            data = _header(a["pos"].shape[0], _FMT_PROPS[fmt]) + body
+    if data is None:
+        writer = {
+            0: write_ply_standard, 1: write_ply_pbr, 2: write_ply_compressed
+        }.get(fmt, write_ply_standard)
+        data = writer(arrs, scale_multiplier)
     if hasattr(path_or_buf, "write"):
         path_or_buf.write(data)
     else:
