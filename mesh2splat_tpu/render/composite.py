@@ -125,79 +125,108 @@ def _cumsum_incl(x):
     return y
 
 
-def _forward_kernel(
-    starts_ref,          # scalar prefetch: (num_tiles + 1,) int32 (aligned)
-    counts_ref,          # scalar prefetch: (num_tiles,) int32 live counts
-    height_ref,          # scalar prefetch: (1,) int32 image height
-    pairs_hbm,           # (P, NUM_FIELDS) f32 in ANY/HBM
-    out_ref,             # (NUM_CH, TILE_H, TILE_W) VMEM
-    scratch,             # (CHUNK, NUM_FIELDS) VMEM
-    sem,                 # DMA semaphore
-):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_id = ti * pl.num_programs(1) + tj
-    start = starts_ref[tile_id]
-    end = start + counts_ref[tile_id]
+def _make_forward_kernel(albedo_only: bool):
+    """Forward kernel factory. albedo_only skips the g-group channels
+    (position/metal-rough) and normal/depth — the training hot path only
+    consumes premultiplied rgba. DMA is double-buffered: chunk c+1 streams in
+    while chunk c composites."""
 
-    px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
+    def _forward_kernel(
+        starts_ref,          # scalar prefetch: (num_tiles + 1,) int32 (aligned)
+        counts_ref,          # scalar prefetch: (num_tiles,) int32 live counts
+        height_ref,          # scalar prefetch: (1,) int32 image height
+        pairs_hbm,           # (P, NUM_FIELDS) f32 in HBM
+        out_ref,             # (NUM_CH, TILE_H, TILE_W) VMEM
+        scratch,             # (2, CHUNK, NUM_FIELDS) VMEM double buffer
+        sem,                 # DMA semaphores (2,)
+    ):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        tile_id = ti * pl.num_programs(1) + tj
+        start = starts_ref[tile_id]
+        end = start + counts_ref[tile_id]
 
-    out_ref[...] = jnp.zeros((NUM_CH, TILE_H, TILE_W), jnp.float32)
-    out_ref[CH_TA] = jnp.ones((TILE_H, TILE_W), jnp.float32)
-    out_ref[CH_TG] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
 
-    num_chunks = (end - start + CHUNK - 1) // CHUNK
+        out_ref[...] = jnp.zeros((NUM_CH, TILE_H, TILE_W), jnp.float32)
+        out_ref[CH_TA] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        out_ref[CH_TG] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
-    def chunk_cond(state):
-        c, t_max = state
-        return jnp.logical_and(c < num_chunks, t_max > _MIN_T)
+        num_chunks = (end - start + CHUNK - 1) // CHUNK
 
-    def chunk_body(state):
-        c, _ = state
-        base = start + c * CHUNK
-        copy = pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(base, CHUNK), :], scratch, sem
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                pairs_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def chunk_cond(state):
+            c, t_max = state
+            return jnp.logical_and(c < num_chunks, t_max > _MIN_T)
+
+        def chunk_body(state):
+            c, _ = state
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                dma(1 - slot, c + 1).start()
+
+            dma(slot, c).wait()
+            s = scratch[slot]
+            base = start + c * CHUNK
+
+            g, _, _ = _splat_eval_chunk(s, px, py, _live_mask(base, end))
+            alpha = _row(s, B.F_ALPHA)
+            ag = jnp.minimum(alpha * g, 0.9999)
+
+            # exclusive within-chunk transmittances x carried-in transmittance
+            ex_a = _cumprod_excl(1.0 - ag)
+            # negative indices lower to dynamic_slice (unsupported); use static
+            tot_a = ex_a[CHUNK - 1] * (1.0 - ag[CHUNK - 1])
+            w_a = ex_a * out_ref[CH_TA][None]
+            gw_a = g * w_a
+            agw = alpha * gw_a
+
+            out_ref[0] += jnp.sum(_row(s, B.F_COL_R) * agw, axis=0)
+            out_ref[1] += jnp.sum(_row(s, B.F_COL_G) * agw, axis=0)
+            out_ref[2] += jnp.sum(_row(s, B.F_COL_B) * agw, axis=0)
+            out_ref[3] += jnp.sum(agw, axis=0)
+
+            if not albedo_only:
+                ex_g = _cumprod_excl(1.0 - g)
+                tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
+                gw_g = g * ex_g * out_ref[CH_TG][None]
+                out_ref[8] += jnp.sum(_row(s, B.F_NRM_X) * gw_a, axis=0)
+                out_ref[9] += jnp.sum(_row(s, B.F_NRM_Y) * gw_a, axis=0)
+                out_ref[10] += jnp.sum(_row(s, B.F_NRM_Z) * gw_a, axis=0)
+                out_ref[11] += jnp.sum(_row(s, B.F_DEPTH) * gw_a, axis=0)
+                out_ref[4] += jnp.sum(_row(s, B.F_WS_X) * gw_g, axis=0)
+                out_ref[5] += jnp.sum(_row(s, B.F_WS_Y) * gw_g, axis=0)
+                out_ref[6] += jnp.sum(_row(s, B.F_WS_Z) * gw_g, axis=0)
+                out_ref[7] += jnp.sum(gw_g, axis=0)
+                out_ref[12] += jnp.sum(_row(s, B.F_METAL) * gw_g, axis=0)
+                out_ref[13] += jnp.sum(_row(s, B.F_ROUGH) * gw_g, axis=0)
+                out_ref[CH_TG] *= tot_g
+
+            out_ref[CH_TA] *= tot_a
+            return c + 1, jnp.max(out_ref[CH_TA])
+
+        c_final, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), jnp.float32(1.0))
         )
-        copy.start()
-        copy.wait()
 
-        g, _, _ = _splat_eval_chunk(scratch, px, py, _live_mask(base, end))
-        alpha = _row(scratch, B.F_ALPHA)
-        ag = jnp.minimum(alpha * g, 0.9999)
+        # early exit leaves the prefetched next chunk's DMA in flight
+        @pl.when(c_final < num_chunks)
+        def _():
+            dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-        # exclusive within-chunk transmittances x carried-in transmittance
-        ex_a = _cumprod_excl(1.0 - ag)
-        ex_g = _cumprod_excl(1.0 - g)
-        # negative indices lower to dynamic_slice (unsupported); use static
-        tot_a = ex_a[CHUNK - 1] * (1.0 - ag[CHUNK - 1])
-        tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
-        w_a = ex_a * out_ref[CH_TA][None]
-        w_g = ex_g * out_ref[CH_TG][None]
-        gw_a = g * w_a
-        gw_g = g * w_g
-        agw = alpha * gw_a
-
-        out_ref[0] += jnp.sum(_row(scratch, B.F_COL_R) * agw, axis=0)
-        out_ref[1] += jnp.sum(_row(scratch, B.F_COL_G) * agw, axis=0)
-        out_ref[2] += jnp.sum(_row(scratch, B.F_COL_B) * agw, axis=0)
-        out_ref[3] += jnp.sum(agw, axis=0)
-        out_ref[8] += jnp.sum(_row(scratch, B.F_NRM_X) * gw_a, axis=0)
-        out_ref[9] += jnp.sum(_row(scratch, B.F_NRM_Y) * gw_a, axis=0)
-        out_ref[10] += jnp.sum(_row(scratch, B.F_NRM_Z) * gw_a, axis=0)
-        out_ref[11] += jnp.sum(_row(scratch, B.F_DEPTH) * gw_a, axis=0)
-
-        out_ref[4] += jnp.sum(_row(scratch, B.F_WS_X) * gw_g, axis=0)
-        out_ref[5] += jnp.sum(_row(scratch, B.F_WS_Y) * gw_g, axis=0)
-        out_ref[6] += jnp.sum(_row(scratch, B.F_WS_Z) * gw_g, axis=0)
-        out_ref[7] += jnp.sum(gw_g, axis=0)
-        out_ref[12] += jnp.sum(_row(scratch, B.F_METAL) * gw_g, axis=0)
-        out_ref[13] += jnp.sum(_row(scratch, B.F_ROUGH) * gw_g, axis=0)
-
-        out_ref[CH_TA] *= tot_a
-        out_ref[CH_TG] *= tot_g
-        return c + 1, jnp.max(out_ref[CH_TA])
-
-    jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), jnp.float32(1.0)))
+    return _forward_kernel
 
 
 def _backward_kernel(
@@ -214,6 +243,8 @@ def _backward_kernel(
     state,               # (4, TILE_H, TILE_W): T_a, T_g, Bpref_a, Bpref_g
     sem_in,
     sem_out,
+    *,
+    albedo_only: bool = False,
 ):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -244,39 +275,42 @@ def _backward_kernel(
         ag = jnp.minimum(alpha * g, 0.9999)
 
         ex_a = _cumprod_excl(1.0 - ag)
-        ex_g = _cumprod_excl(1.0 - g)
         tot_a = ex_a[CHUNK - 1] * (1.0 - ag[CHUNK - 1])
-        tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
         w_a = ex_a * state[0][None]
-        w_g = ex_g * state[1][None]
 
         ct_rgb = (
             _row(scratch, B.F_COL_R) * ct_ref[0][None]
             + _row(scratch, B.F_COL_G) * ct_ref[1][None]
             + _row(scratch, B.F_COL_B) * ct_ref[2][None]
         )
-        sdot_a = (
-            alpha * (ct_rgb + ct_ref[3][None])
-            + _row(scratch, B.F_NRM_X) * ct_ref[8][None]
-            + _row(scratch, B.F_NRM_Y) * ct_ref[9][None]
-            + _row(scratch, B.F_NRM_Z) * ct_ref[10][None]
-            + _row(scratch, B.F_DEPTH) * ct_ref[11][None]
-        )
-        sdot_g = (
-            _row(scratch, B.F_WS_X) * ct_ref[4][None]
-            + _row(scratch, B.F_WS_Y) * ct_ref[5][None]
-            + _row(scratch, B.F_WS_Z) * ct_ref[6][None]
-            + ct_ref[7][None]
-            + _row(scratch, B.F_METAL) * ct_ref[12][None]
-            + _row(scratch, B.F_ROUGH) * ct_ref[13][None]
-        )
+        sdot_a = alpha * (ct_rgb + ct_ref[3][None])
+        if not albedo_only:
+            sdot_a = (
+                sdot_a
+                + _row(scratch, B.F_NRM_X) * ct_ref[8][None]
+                + _row(scratch, B.F_NRM_Y) * ct_ref[9][None]
+                + _row(scratch, B.F_NRM_Z) * ct_ref[10][None]
+                + _row(scratch, B.F_DEPTH) * ct_ref[11][None]
+            )
 
         bpref_a = state[2][None] + _cumsum_incl(sdot_a * g * w_a)
-        bpref_g = state[3][None] + _cumsum_incl(sdot_g * g * w_g)
         da = -(res_a_ref[0][None] - bpref_a) / (1.0 - ag)
-        dgg = -(res_g_ref[0][None] - bpref_g) / jnp.maximum(1.0 - g, 1e-4)
-
-        dL_dg = sdot_a * w_a + sdot_g * w_g + da * alpha + dgg
+        dL_dg = sdot_a * w_a + da * alpha
+        if not albedo_only:
+            ex_g = _cumprod_excl(1.0 - g)
+            tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
+            w_g = ex_g * state[1][None]
+            sdot_g = (
+                _row(scratch, B.F_WS_X) * ct_ref[4][None]
+                + _row(scratch, B.F_WS_Y) * ct_ref[5][None]
+                + _row(scratch, B.F_WS_Z) * ct_ref[6][None]
+                + ct_ref[7][None]
+                + _row(scratch, B.F_METAL) * ct_ref[12][None]
+                + _row(scratch, B.F_ROUGH) * ct_ref[13][None]
+            )
+            bpref_g = state[3][None] + _cumsum_incl(sdot_g * g * w_g)
+            dgg = -(res_g_ref[0][None] - bpref_g) / jnp.maximum(1.0 - g, 1e-4)
+            dL_dg = dL_dg + sdot_g * w_g + dgg
         dL_dalpha = g * (ct_rgb + ct_ref[3][None]) * w_a + da * g
 
         gp = dL_dg * g  # dL/dpower
@@ -290,7 +324,7 @@ def _backward_kernel(
             return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
         gwa = g * w_a
-        gwg = g * w_g
+        gwg = g * w_g if not albedo_only else gwa
         agt = alpha * gwa
         dscratch[:, B.F_MEAN_X : B.F_MEAN_X + 1] = rsum(gp * -(ca * dx + cb * dy))
         dscratch[:, B.F_MEAN_Y : B.F_MEAN_Y + 1] = rsum(gp * -(cc * dy + cb * dx))
@@ -301,21 +335,22 @@ def _backward_kernel(
         dscratch[:, B.F_COL_G : B.F_COL_G + 1] = rsum(agt * ct_ref[1][None])
         dscratch[:, B.F_COL_B : B.F_COL_B + 1] = rsum(agt * ct_ref[2][None])
         dscratch[:, B.F_ALPHA : B.F_ALPHA + 1] = rsum(dL_dalpha)
-        dscratch[:, B.F_NRM_X : B.F_NRM_X + 1] = rsum(gwa * ct_ref[8][None])
-        dscratch[:, B.F_NRM_Y : B.F_NRM_Y + 1] = rsum(gwa * ct_ref[9][None])
-        dscratch[:, B.F_NRM_Z : B.F_NRM_Z + 1] = rsum(gwa * ct_ref[10][None])
-        dscratch[:, B.F_WS_X : B.F_WS_X + 1] = rsum(gwg * ct_ref[4][None])
-        dscratch[:, B.F_WS_Y : B.F_WS_Y + 1] = rsum(gwg * ct_ref[5][None])
-        dscratch[:, B.F_WS_Z : B.F_WS_Z + 1] = rsum(gwg * ct_ref[6][None])
-        dscratch[:, B.F_DEPTH : B.F_DEPTH + 1] = rsum(gwa * ct_ref[11][None])
-        dscratch[:, B.F_METAL : B.F_METAL + 1] = rsum(gwg * ct_ref[12][None])
-        dscratch[:, B.F_ROUGH : B.F_ROUGH + 1] = rsum(gwg * ct_ref[13][None])
-
+        if not albedo_only:
+            dscratch[:, B.F_NRM_X : B.F_NRM_X + 1] = rsum(gwa * ct_ref[8][None])
+            dscratch[:, B.F_NRM_Y : B.F_NRM_Y + 1] = rsum(gwa * ct_ref[9][None])
+            dscratch[:, B.F_NRM_Z : B.F_NRM_Z + 1] = rsum(gwa * ct_ref[10][None])
+            dscratch[:, B.F_WS_X : B.F_WS_X + 1] = rsum(gwg * ct_ref[4][None])
+            dscratch[:, B.F_WS_Y : B.F_WS_Y + 1] = rsum(gwg * ct_ref[5][None])
+            dscratch[:, B.F_WS_Z : B.F_WS_Z + 1] = rsum(gwg * ct_ref[6][None])
+            dscratch[:, B.F_DEPTH : B.F_DEPTH + 1] = rsum(gwa * ct_ref[11][None])
+            dscratch[:, B.F_METAL : B.F_METAL + 1] = rsum(gwg * ct_ref[12][None])
+            dscratch[:, B.F_ROUGH : B.F_ROUGH + 1] = rsum(gwg * ct_ref[13][None])
 
         state[0] *= tot_a
-        state[1] *= tot_g
         state[2] += jnp.sum(sdot_a * g * w_a, axis=0)
-        state[3] += jnp.sum(sdot_g * g * w_g, axis=0)
+        if not albedo_only:
+            state[1] *= tot_g
+            state[3] += jnp.sum(sdot_g * g * w_g, axis=0)
 
         cout = pltpu.make_async_copy(
             dscratch, dpairs_hbm.at[pl.ds(base, CHUNK), :], sem_out
@@ -327,16 +362,20 @@ def _backward_kernel(
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def composite_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
+                    interpret, albedo_only=False):
     """pair_data: (P, NUM_FIELDS) from binning (CHUNK-aligned layout);
     returns the (NUM_CH, ty*8, tx*128) G-buffer. Differentiable w.r.t.
-    pair_data via the hand-written backward kernel."""
-    out, _ = _composite_fwd(pair_data, tile_starts, tile_counts, height_arr, ty, tx, interpret)
+    pair_data via the hand-written backward kernel. With albedo_only, only
+    the rgba channels (+T_a) are computed — the training hot path."""
+    out, _ = _composite_fwd(pair_data, tile_starts, tile_counts, height_arr,
+                            ty, tx, interpret, albedo_only)
     return out
 
 
-def _composite_fwd(pair_data, tile_starts, tile_counts, height_arr, ty, tx, interpret):
+def _composite_fwd(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
+                   interpret, albedo_only):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ty, tx),
@@ -345,12 +384,12 @@ def _composite_fwd(pair_data, tile_starts, tile_counts, height_arr, ty, tx, inte
             (NUM_CH, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, B.PAIR_WIDTH), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK, B.PAIR_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _forward_kernel,
+        _make_forward_kernel(albedo_only),
         out_shape=jax.ShapeDtypeStruct((NUM_CH, ty * TILE_H, tx * TILE_W), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -358,7 +397,7 @@ def _composite_fwd(pair_data, tile_starts, tile_counts, height_arr, ty, tx, inte
     return out, (pair_data, tile_starts, tile_counts, height_arr, out)
 
 
-def _composite_bwd(ty, tx, interpret, residuals, ct):
+def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
     pair_data, tile_starts, tile_counts, height_arr, out = residuals
 
     # per-pixel Btot per group, + the T-channels' own cotangent contribution
@@ -386,7 +425,7 @@ def _composite_bwd(ty, tx, interpret, residuals, ct):
         ],
     )
     dpairs = pl.pallas_call(
-        _backward_kernel,
+        functools.partial(_backward_kernel, albedo_only=albedo_only),
         out_shape=jax.ShapeDtypeStruct(pair_data.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

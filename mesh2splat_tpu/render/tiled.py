@@ -35,7 +35,10 @@ def _is_tpu() -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "pair_capacity", "interpret", "render_mode"),
+    static_argnames=(
+        "width", "height", "pair_capacity", "interpret", "render_mode",
+        "albedo_only",
+    ),
 )
 def rasterize_tiled(
     proj: ProjectedSplats,
@@ -44,6 +47,7 @@ def rasterize_tiled(
     pair_capacity: int = 0,
     render_mode: RenderMode = RenderMode.ALBEDO,
     interpret: bool | None = None,
+    albedo_only: bool = False,
 ):
     """Returns the same dict as rasterize_dense: albedo/position/normal/
     depth/metal_rough (H, W, 4) + transmittance (H, W)."""
@@ -71,6 +75,7 @@ def rasterize_tiled(
         ty,
         tx,
         interpret,
+        albedo_only,
     )
     out = out[:, :height, :width]
 

@@ -80,8 +80,10 @@ def render_rgb(
         splats, camera, std_dev=std_dev, render_mode=RenderMode.ALBEDO,
         splat_format=splat_format,
     )
-    raster = rasterize_tiled if use_tiled else rasterize_dense
-    out = raster(proj, width, height)
+    if use_tiled:
+        out = rasterize_tiled(proj, width, height, albedo_only=True)
+    else:
+        out = rasterize_dense(proj, width, height)
     return out["albedo"][..., :3]
 
 

@@ -153,3 +153,26 @@ def test_tiled_gradient_finite_differences():
         e[i, j] = eps
         fd = (float(f(sp.color + jnp.asarray(e))) - float(f(sp.color - jnp.asarray(e)))) / (2 * eps)
         assert abs(fd - float(g[i, j])) < 5e-2 * max(1.0, abs(fd)), (i, j, fd, float(g[i, j]))
+
+
+def test_albedo_only_matches_full():
+    """albedo_only fast path: identical rgba + matching gradients."""
+    sp = random_splats(60, 7)
+    proj = project(sp)
+    full = rasterize_tiled(proj, W, H, interpret=True)
+    fast = rasterize_tiled(proj, W, H, interpret=True, albedo_only=True)
+    np.testing.assert_allclose(
+        np.asarray(fast["albedo"]), np.asarray(full["albedo"]), atol=1e-6
+    )
+
+    def loss(color, albedo_only):
+        s2 = Splats(pos=sp.pos, color=color, scale=sp.scale, normal=sp.normal,
+                    quat=sp.quat, pbr=sp.pbr, valid=sp.valid)
+        out = rasterize_tiled(project(s2), W, H, interpret=True,
+                              albedo_only=albedo_only)
+        return jnp.sum(out["albedo"] ** 2)
+
+    g_full = jax.grad(lambda c: loss(c, False))(sp.color)
+    g_fast = jax.grad(lambda c: loss(c, True))(sp.color)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-6)
