@@ -34,8 +34,15 @@ import jax.numpy as jnp
 
 from ..types import Material, Splats, TriangleMesh
 from . import segments
-from .sampling import sample_bilinear
+from .sampling import build_tap_atlas, sample_bilinear_atlas
 from .triplanar import triangle_conversion_attrs
+
+
+def _sample(tex, uv):
+    """Bilinear sample via a tap atlas: one gather per texture instead of
+    four (see sampling.build_tap_atlas)."""
+    h, w, c = tex.shape
+    return sample_bilinear_atlas(build_tap_atlas(tex), h, w, c, uv)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,25 +176,50 @@ def convert(
 
     # ---- stage 3: slot -> (triangle, texel) ------------------------------
     tri_id_safe, local, in_budget = segments.expand_to_slots(offsets, area, cap)
-    tw = jnp.maximum(w[tri_id_safe], 1)
-    ti = x0[tri_id_safe] + local % tw
-    tj = y0[tri_id_safe] + local // tw
     in_budget = jnp.logical_and(
         in_budget, jnp.arange(cap, dtype=jnp.int32) < total
     )
 
-    # ---- stage 4: the fragment shader as a gather ------------------------
-    uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res  # (cap,2)
+    # ---- stage 4: the fragment shader as ONE record gather ---------------
+    # TPU gathers cost ~8 ms per million rows regardless of row width, so all
+    # per-triangle data rides a single packed record: 49 attr floats + bbox
+    # ints (exact in f32 below 2^24).
+    t = mesh.tri_pos.shape[0]
+    record = jnp.concatenate(
+        [
+            mesh.tri_pos.reshape(t, 9),
+            mesh.tri_normal.reshape(t, 9),
+            mesh.tri_tangent.reshape(t, 12),
+            mesh.tri_uv.reshape(t, 6),
+            ouv.reshape(t, 6),
+            attrs["quat"],
+            attrs["scale"],
+            x0[:, None].astype(jnp.float32),
+            y0[:, None].astype(jnp.float32),
+            jnp.maximum(w, 1)[:, None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (T, 52)
+    rec = record[tri_id_safe]  # (cap, 52) — the one gather
 
-    t_ouv = ouv[tri_id_safe]           # (cap, 3, 2)
+    tp = rec[:, 0:9].reshape(cap, 3, 3)
+    tn = rec[:, 9:18].reshape(cap, 3, 3)
+    tt = rec[:, 18:30].reshape(cap, 3, 4)
+    tuv = rec[:, 30:36].reshape(cap, 3, 2)
+    t_ouv = rec[:, 36:42].reshape(cap, 3, 2)
+    quat = rec[:, 42:46]
+    scale = rec[:, 46:49]
+    tx0 = rec[:, 49].astype(jnp.int32)
+    ty0 = rec[:, 50].astype(jnp.int32)
+    tw = rec[:, 51].astype(jnp.int32)
+
+    ti = tx0 + local % tw
+    tj = ty0 + local // tw
+    uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res
+
     bary, _ = _barycentric(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
     inside = _coverage_top_left(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
     valid = jnp.logical_and(in_budget, inside)
-
-    tp = mesh.tri_pos[tri_id_safe]      # (cap, 3, 3)
-    tn = mesh.tri_normal[tri_id_safe]   # (cap, 3, 3)
-    tt = mesh.tri_tangent[tri_id_safe]  # (cap, 3, 4)
-    tuv = mesh.tri_uv[tri_id_safe]      # (cap, 3, 2)
 
     b = bary[..., None]
     pos = jnp.sum(tp * b, axis=1)
@@ -197,14 +229,14 @@ def convert(
 
     # albedo (converterFS.glsl:55-62) x u_materialFactor (:99)
     if material.has_base_color:
-        albedo = sample_bilinear(material.base_color, uv)
+        albedo = _sample(material.base_color, uv)
     else:
         albedo = jnp.ones((cap, 4), jnp.float32)
     color = albedo * material.base_color_factor
 
     # normal map via TBN (converterFS.glsl:68-81)
     if material.has_normal:
-        nm = sample_bilinear(material.normal, uv)
+        nm = _sample(material.normal, uv)
         n_ts = nm * 2.0 - 1.0
         n_ts = n_ts / (jnp.linalg.norm(n_ts, axis=-1, keepdims=True) + 1e-12)
         n_unit = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
@@ -226,7 +258,7 @@ def convert(
     # metallic-roughness: map .b = metallic, .g = roughness, defaults
     # (0.1, 0.5) when absent (converterFS.glsl:87-95)
     if material.has_metallic_roughness:
-        mr = sample_bilinear(material.metallic_roughness, uv)
+        mr = _sample(material.metallic_roughness, uv)
         pbr = jnp.stack([mr[..., 2], mr[..., 1]], axis=-1)
     else:
         pbr = jnp.broadcast_to(
@@ -236,9 +268,9 @@ def convert(
     return Splats(
         pos=pos,
         color=color,
-        scale=attrs["scale"][tri_id_safe],
+        scale=scale,
         normal=out_normal,
-        quat=attrs["quat"][tri_id_safe],
+        quat=quat,
         pbr=pbr,
         valid=valid,
     )

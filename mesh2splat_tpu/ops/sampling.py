@@ -50,3 +50,40 @@ def sample_nearest(tex: jax.Array, uv: jax.Array) -> jax.Array:
     ui = jnp.mod(jnp.floor(uv[..., 0] * w).astype(jnp.int32), w)
     vi = jnp.mod(jnp.floor(uv[..., 1] * h).astype(jnp.int32), h)
     return tex[vi, ui]
+
+
+def build_tap_atlas(tex: jax.Array) -> jax.Array:
+    """Precompute the 2x2 bilinear footprint per texel: (H*W, 4C) rows
+    [t00, t01, t10, t11] with REPEAT wrap (rolls).
+
+    TPU gathers cost ~8 ms per million *rows* regardless of row width, so one
+    atlas gather replaces four corner gathers. Differentiable: rolls + concat
+    transpose cleanly back to the texture."""
+    h, w, c = tex.shape
+    t01 = jnp.roll(tex, -1, axis=1)
+    t10 = jnp.roll(tex, -1, axis=0)
+    t11 = jnp.roll(t10, -1, axis=1)
+    return jnp.concatenate([tex, t01, t10, t11], axis=-1).reshape(h * w, 4 * c)
+
+
+def sample_bilinear_atlas(atlas: jax.Array, h: int, w: int, c: int, uv: jax.Array):
+    """Bilinear sample via a prebuilt tap atlas: ONE gather per call."""
+    u = uv[..., 0] * w - 0.5
+    v = uv[..., 1] * h - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0i = jnp.mod(u0.astype(jnp.int32), w)
+    v0i = jnp.mod(v0.astype(jnp.int32), h)
+    rows = atlas[v0i * w + u0i]  # (..., 4C)
+    t00 = rows[..., 0 * c : 1 * c]
+    t01 = rows[..., 1 * c : 2 * c]
+    t10 = rows[..., 2 * c : 3 * c]
+    t11 = rows[..., 3 * c : 4 * c]
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )

@@ -66,8 +66,6 @@ def convert_sharded(
     the backward all-reduces texture gradients automatically (psum inserted
     by shard_map's reverse-mode transpose of the replicated-material use).
     """
-    from jax.experimental.shard_map import shard_map
-
     geom = shard_triangles(mesh_geom, mesh, axis)
     repl = P()
 
@@ -79,12 +77,12 @@ def convert_sharded(
         sp = convert(local, mat, lo, hi, config)
         return sp
 
-    f = shard_map(
+    f = jax.shard_map(
         local_convert,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), repl, repl, repl),
         out_specs=jax.tree.map(lambda _: P(axis), Splats.zeros(1)),
-        check_rep=False,
+        check_vma=False,
     )
     return f(
         geom.tri_pos, geom.tri_normal, geom.tri_tangent, geom.tri_uv,

@@ -148,16 +148,15 @@ def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=False, mesh=None):
                       use_tiled=use_tiled)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         def wrapped(params, valid, cameras, targets):
             def local(params, valid, cameras, targets):
                 return jax.lax.pmean(loss_fn(params, valid, cameras, targets), "dp")
 
-            return shard_map(
+            return jax.shard_map(
                 local, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp")),
-                out_specs=P(), check_rep=False,
+                out_specs=P(), check_vma=False,
             )(params, valid, cameras, targets)
 
         grad_fn = jax.value_and_grad(wrapped)

@@ -81,7 +81,6 @@ def test_data_parallel_training_step_matches_single():
         std_dev=cfg.scale_multiplier,
     )
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     dev_mesh = make_mesh(8)
@@ -93,9 +92,9 @@ def test_data_parallel_training_step_matches_single():
                         std_dev=cfg.scale_multiplier),
                 "dp",
             )
-        return shard_map(
+        return jax.shard_map(
             local, mesh=dev_mesh, in_specs=(P(), P(), P("dp"), P("dp")),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )(params, valid, cameras, targets)
 
     sh_loss, sh_grads = jax.jit(jax.value_and_grad(sharded))(
