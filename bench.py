@@ -84,11 +84,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+    from mesh2splat_tpu.ops.conversion import ConversionConfig, calibrate, convert
 
     mesh, mat = synth_mesh()
     lo, hi = mesh.bbox()
-    cfg = ConversionConfig(resolution=512, layers=4)
+    cfg = ConversionConfig(resolution=512, layers=6)
+    # size the slot budget to the mesh (exact same output splats, ~linear
+    # cost in capacity; the reference analogously pays only for live
+    # fragments via atomic appends, ConversionPass.cpp:20-33)
+    cfg = calibrate(mesh, lo, hi, cfg)
+    print(f"calibrated capacity={cfg.capacity}", file=sys.stderr)
 
     fn = jax.jit(lambda m: convert(m, mat, lo, hi, cfg))
     sp = fn(mesh)

@@ -45,6 +45,39 @@ def _sample(tex, uv):
     return sample_bilinear_atlas(build_tap_atlas(tex), h, w, c, uv)
 
 
+def _fused_texture_stack(material: Material):
+    """Stack every present texture into one (H, W, 10) array so the whole
+    fragment-shader sampling step is ONE tap-atlas gather (gather cost on TPU
+    is ~12 ms per million indices and flat in row width, so 3 gathers -> 1 is
+    a 3x win). Channels: base_color rgba | normal xyz | metallic-roughness bgr's
+    (b, g used). Returns None when no texture is present or sizes differ."""
+    texs = []
+    if material.has_base_color:
+        texs.append(material.base_color)
+    if material.has_normal:
+        texs.append(material.normal)
+    if material.has_metallic_roughness:
+        texs.append(material.metallic_roughness)
+    if not texs:
+        return None
+    hw = texs[0].shape[:2]
+    if any(t.shape[:2] != hw for t in texs):
+        return None
+    h, w = hw
+    parts = [
+        material.base_color
+        if material.has_base_color
+        else jnp.ones((h, w, 4), jnp.float32),
+        material.normal
+        if material.has_normal
+        else jnp.zeros((h, w, 3), jnp.float32),
+        material.metallic_roughness
+        if material.has_metallic_roughness
+        else jnp.zeros((h, w, 3), jnp.float32),
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConversionConfig:
     """Static conversion parameters.
@@ -62,10 +95,26 @@ class ConversionConfig:
     layers: int = 6
     max_texels_per_tri: int = 0  # 0 => no per-triangle cap beyond capacity
     gaussian_std: float = 1.0    # UI sigma slider, 0.1..2.0 (ImGuiUi.hpp:173)
+    # Exact slot budget (0 => res^2 * layers). Conversion cost on TPU is
+    # linear in capacity, so sizing it to the mesh's actual requirement
+    # (see required_slots / calibrate) is a direct speedup. The reference
+    # instead oversizes its SSBO and relies on atomic appends to pay only
+    # for live fragments (ConversionPass.cpp:20-33).
+    capacity_override: int = 0
+    # Budget for the intermediate (triangle, texel-row) expansion of the
+    # scanline allocator (0 => same as capacity, a safe upper bound since
+    # every allocated row claims >= 1 texel slot).
+    row_capacity_override: int = 0
 
     @property
     def capacity(self) -> int:
+        if self.capacity_override:
+            return self.capacity_override
         return self.resolution * self.resolution * self.layers
+
+    @property
+    def row_capacity(self) -> int:
+        return self.row_capacity_override or self.capacity
 
     @property
     def scale_multiplier(self) -> float:
@@ -143,6 +192,37 @@ def _coverage_top_left(p, a, b, c):
     return jnp.logical_and(inside, jnp.abs(den) > 1e-20)
 
 
+def _row_span(ouv6, tx0, tw, y, res):
+    """Exact covered column range of a texel row at center ordinate ``y``:
+    scanline/edge intersections in ortho-UV space, padded a hundredth of a
+    texel so top-left-rule boundary texels survive f32 rounding (the exact
+    _coverage_top_left test stays the final arbiter). Deterministic — the
+    per-row and per-slot call sites recompute identical values.
+
+    ouv6: (..., 6) flattened triangle ortho-UV; tx0/tw: bbox column start /
+    width; y: (...,) row center in UV. Returns (c0, c1, nonempty)."""
+
+    def edge_x(pu, pv, qu, qv):
+        den = qv - pv
+        span = jnp.logical_and((pv - y) * (qv - y) <= 0, jnp.abs(den) > 1e-20)
+        tt_ = (y - pv) / jnp.where(span, den, 1.0)
+        xx = pu + tt_ * (qu - pu)
+        big = jnp.float32(3e38)
+        return jnp.where(span, xx, big), jnp.where(span, xx, -big)
+
+    lo0, hi0 = edge_x(ouv6[..., 0], ouv6[..., 1], ouv6[..., 2], ouv6[..., 3])
+    lo1, hi1 = edge_x(ouv6[..., 2], ouv6[..., 3], ouv6[..., 4], ouv6[..., 5])
+    lo2, hi2 = edge_x(ouv6[..., 4], ouv6[..., 5], ouv6[..., 0], ouv6[..., 1])
+    xlo = jnp.minimum(jnp.minimum(lo0, lo1), lo2)
+    xhi = jnp.maximum(jnp.maximum(hi0, hi1), hi2)
+
+    c0 = jnp.ceil(xlo * res - 0.5 - 1e-2).astype(jnp.int32)
+    c1 = jnp.floor(xhi * res - 0.5 + 1e-2).astype(jnp.int32)
+    c0 = jnp.clip(c0, tx0, tx0 + tw - 1)
+    c1 = jnp.clip(c1, tx0, tx0 + tw - 1)
+    return c0, c1, xlo <= xhi
+
+
 @partial(jax.jit, static_argnames=("config",))
 def convert(
     mesh: TriangleMesh,
@@ -157,34 +237,81 @@ def convert(
     (reference: ConversionPass.cpp:111-112 binds mesh.bbox)."""
     res = config.resolution
     cap = config.capacity
+    row_cap = config.row_capacity
 
     # ---- stage 1: per-triangle attributes --------------------------------
     attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
     ouv = attrs["ortho_uv"]  # (T, 3, 2)
 
     x0, y0, w, h = _triangle_texel_bbox(ouv, res)
-    area = w * h
-    if config.max_texels_per_tri:
-        area = jnp.minimum(area, config.max_texels_per_tri)
 
     # degenerate triangles (NaN positions / zero UV area) claim no slots
-    finite = jnp.all(jnp.isfinite(mesh.tri_pos.reshape(mesh.tri_pos.shape[0], -1)), axis=-1)
-    area = jnp.where(finite, area, 0)
-
-    # ---- stage 2: budgeted slot allocation -------------------------------
-    offsets, total = segments.alloc_slots(area, cap)
-
-    # ---- stage 3: slot -> (triangle, texel) ------------------------------
-    tri_id_safe, local, in_budget = segments.expand_to_slots(offsets, area, cap)
-    in_budget = jnp.logical_and(
-        in_budget, jnp.arange(cap, dtype=jnp.int32) < total
+    finite = jnp.all(
+        jnp.isfinite(mesh.tri_pos.reshape(mesh.tri_pos.shape[0], -1)), axis=-1
     )
+    n_rows = jnp.where(jnp.logical_and(finite, w > 0), h, 0)
+
+    # ---- stage 2: scanline row expansion ----------------------------------
+    # Allocating whole texel bboxes wastes ~2-3x slots on sliver triangles
+    # (and conversion cost is linear in slot count), so allocate per texel
+    # ROW with the exact covered column range from scanline/edge
+    # intersections — the dense analogue of the coarse rasterizer stage the
+    # reference gets from hardware (converterGS.glsl:439 emits the triangle;
+    # the GPU enumerates covered fragments only).
+    t = mesh.tri_pos.shape[0]
+    row_off, row_total = segments.alloc_slots(n_rows, row_cap)
+    row_local, _, row_tri = segments.expand_monotone(
+        row_off, n_rows, row_cap, value=jnp.arange(t, dtype=jnp.int32)
+    )
+    row_live = jnp.arange(row_cap, dtype=jnp.int32) < row_total
+    row_tri = jnp.maximum(row_tri, 0)
+
+    geo = jnp.concatenate(
+        [
+            ouv.reshape(t, 6),
+            x0[:, None].astype(jnp.float32),
+            y0[:, None].astype(jnp.float32),
+            w[:, None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (T, 9)
+    g = geo[row_tri]  # (row_cap, 9) — small-table gather
+    tx0 = g[:, 6].astype(jnp.int32)
+    tw = g[:, 8].astype(jnp.int32)
+    j = g[:, 7].astype(jnp.int32) + row_local
+    y = (j.astype(jnp.float32) + 0.5) / res
+
+    c0, c1, nonempty = _row_span(g[:, 0:6], tx0, tw, y, res)
+    width = jnp.where(jnp.logical_and(row_live, nonempty), c1 - c0 + 1, 0)
+    width = jnp.maximum(width, 0)
+    if config.max_texels_per_tri:
+        width = jnp.minimum(width, config.max_texels_per_tri)
+
+    # ---- stage 3: row -> texel slots --------------------------------------
+    # Forward-fill ONE monotone packed channel (tri_id * 4096 + row_local —
+    # texel rows per triangle never exceed res <= 4096) through a native
+    # cummax; everything else is recomputed per slot from the record gather,
+    # which is cheap VPU math. Falls back to the generic last-set scan for
+    # meshes too large to pack.
+    offsets, total = segments.alloc_slots(width, cap)
+    if t * 4096 < 2**31:
+        local, _, packed = segments.expand_monotone(
+            offsets, width, cap, value=row_tri * 4096 + row_local
+        )
+        packed = jnp.maximum(packed, 0)
+        tri_id_safe = packed >> 12
+        s_row_local = packed & 4095
+    else:
+        _, local, _, ex = segments.expand_to_slots(
+            offsets, width, cap, extra=jnp.stack([row_tri, row_local])
+        )
+        tri_id_safe = jnp.maximum(ex[0], 0)
+        s_row_local = jnp.maximum(ex[1], 0)
+    in_budget = jnp.arange(cap, dtype=jnp.int32) < total
 
     # ---- stage 4: the fragment shader as ONE record gather ---------------
-    # TPU gathers cost ~8 ms per million rows regardless of row width, so all
-    # per-triangle data rides a single packed record: 49 attr floats + bbox
-    # ints (exact in f32 below 2^24).
-    t = mesh.tri_pos.shape[0]
+    # TPU gathers cost ~12 ms per million rows and are flat in row width, so
+    # all per-triangle data rides a single packed 52-float record.
     record = jnp.concatenate(
         [
             mesh.tri_pos.reshape(t, 9),
@@ -194,9 +321,7 @@ def convert(
             ouv.reshape(t, 6),
             attrs["quat"],
             attrs["scale"],
-            x0[:, None].astype(jnp.float32),
-            y0[:, None].astype(jnp.float32),
-            jnp.maximum(w, 1)[:, None].astype(jnp.float32),
+            geo[:, 6:9],
         ],
         axis=-1,
     )  # (T, 52)
@@ -209,12 +334,15 @@ def convert(
     t_ouv = rec[:, 36:42].reshape(cap, 3, 2)
     quat = rec[:, 42:46]
     scale = rec[:, 46:49]
-    tx0 = rec[:, 49].astype(jnp.int32)
-    ty0 = rec[:, 50].astype(jnp.int32)
-    tw = rec[:, 51].astype(jnp.int32)
 
-    ti = tx0 + local % tw
-    tj = ty0 + local // tw
+    # re-derive the slot's texel coordinates from the record (identical
+    # arithmetic to the per-row pass above => identical f32 results)
+    s_tx0 = rec[:, 49].astype(jnp.int32)
+    s_tw = rec[:, 51].astype(jnp.int32)
+    tj = rec[:, 50].astype(jnp.int32) + s_row_local
+    y_s = (tj.astype(jnp.float32) + 0.5) / res
+    sc0, _, _ = _row_span(rec[:, 36:42], s_tx0, s_tw, y_s, res)
+    ti = sc0 + local
     uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res
 
     bary, _ = _barycentric(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
@@ -227,16 +355,26 @@ def convert(
     tan = jnp.sum(tt * b, axis=1)
     uv = jnp.sum(tuv * b, axis=1)
 
+    # ---- texture sampling: ONE fused gather when possible -----------------
+    stack = _fused_texture_stack(material)
+    if stack is not None:
+        taps = _sample(stack, uv)  # (cap, 10)
+        s_albedo = taps[..., 0:4]
+        s_normal = taps[..., 4:7]
+        s_mr = taps[..., 7:10]
+    else:
+        s_albedo = s_normal = s_mr = None
+
     # albedo (converterFS.glsl:55-62) x u_materialFactor (:99)
     if material.has_base_color:
-        albedo = _sample(material.base_color, uv)
+        albedo = s_albedo if s_albedo is not None else _sample(material.base_color, uv)
     else:
         albedo = jnp.ones((cap, 4), jnp.float32)
     color = albedo * material.base_color_factor
 
     # normal map via TBN (converterFS.glsl:68-81)
     if material.has_normal:
-        nm = _sample(material.normal, uv)
+        nm = s_normal if s_normal is not None else _sample(material.normal, uv)
         n_ts = nm * 2.0 - 1.0
         n_ts = n_ts / (jnp.linalg.norm(n_ts, axis=-1, keepdims=True) + 1e-12)
         n_unit = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
@@ -258,7 +396,7 @@ def convert(
     # metallic-roughness: map .b = metallic, .g = roughness, defaults
     # (0.1, 0.5) when absent (converterFS.glsl:87-95)
     if material.has_metallic_roughness:
-        mr = _sample(material.metallic_roughness, uv)
+        mr = s_mr if s_mr is not None else _sample(material.metallic_roughness, uv)
         pbr = jnp.stack([mr[..., 2], mr[..., 1]], axis=-1)
     else:
         pbr = jnp.broadcast_to(
@@ -273,6 +411,101 @@ def convert(
         quat=quat,
         pbr=pbr,
         valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def required_rows(
+    mesh: TriangleMesh,
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    config: ConversionConfig,
+) -> jax.Array:
+    """Number of (triangle, texel-row) producers the scanline allocator
+    needs for this mesh. Cheap: O(T)."""
+    attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
+    x0, y0, w, h = _triangle_texel_bbox(attrs["ortho_uv"], config.resolution)
+    finite = jnp.all(
+        jnp.isfinite(mesh.tri_pos.reshape(mesh.tri_pos.shape[0], -1)), axis=-1
+    )
+    return jnp.sum(jnp.where(jnp.logical_and(finite, w > 0), h, 0))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def required_slots(
+    mesh: TriangleMesh,
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    config: ConversionConfig,
+) -> jax.Array:
+    """Exact texel-slot requirement: the sum of scanline row widths — a
+    near-exact stand-in for the number of fragment-shader invocations the
+    reference's rasterizer would enumerate (converterGS.glsl:439). Uses
+    config.row_capacity for the intermediate row expansion, so calibrate
+    rows first. Cost: O(T + row_capacity). Shares _row_span with convert,
+    so the budget it returns is exactly what convert will allocate."""
+    res = config.resolution
+    row_cap = config.row_capacity
+    attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
+    ouv = attrs["ortho_uv"]
+    x0, y0, w, h = _triangle_texel_bbox(ouv, res)
+    finite = jnp.all(
+        jnp.isfinite(mesh.tri_pos.reshape(mesh.tri_pos.shape[0], -1)), axis=-1
+    )
+    n_rows = jnp.where(jnp.logical_and(finite, w > 0), h, 0)
+
+    t = mesh.tri_pos.shape[0]
+    row_off, row_total = segments.alloc_slots(n_rows, row_cap)
+    row_local, _, row_tri = segments.expand_monotone(
+        row_off, n_rows, row_cap, value=jnp.arange(t, dtype=jnp.int32)
+    )
+    row_live = jnp.arange(row_cap, dtype=jnp.int32) < row_total
+    row_tri = jnp.maximum(row_tri, 0)
+
+    geo = jnp.concatenate(
+        [
+            ouv.reshape(t, 6),
+            x0[:, None].astype(jnp.float32),
+            y0[:, None].astype(jnp.float32),
+            w[:, None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    g = geo[row_tri]
+    tx0 = g[:, 6].astype(jnp.int32)
+    tw = g[:, 8].astype(jnp.int32)
+    j = g[:, 7].astype(jnp.int32) + row_local
+    y = (j.astype(jnp.float32) + 0.5) / res
+    c0, c1, nonempty = _row_span(g[:, 0:6], tx0, tw, y, res)
+    width = jnp.where(jnp.logical_and(row_live, nonempty), c1 - c0 + 1, 0)
+    width = jnp.maximum(width, 0)
+    if config.max_texels_per_tri:
+        width = jnp.minimum(width, config.max_texels_per_tri)
+    return jnp.sum(width)
+
+
+def calibrate(
+    mesh: TriangleMesh,
+    bbox_min,
+    bbox_max,
+    config: ConversionConfig,
+    round_to: int = 8192,
+) -> ConversionConfig:
+    """Return a config whose row and texel budgets exactly fit this mesh
+    (rounded up for layout friendliness, capped at res^2*layers). Conversion
+    with the calibrated config produces the identical splat set at
+    proportionally lower cost — the TPU analogue of the reference paying only
+    for live fragments via atomic appends (ConversionPass.cpp:20-33)."""
+    hard_cap = config.resolution * config.resolution * config.layers
+
+    def round_up(n):
+        return min(-(-max(int(n), 1) // round_to) * round_to, hard_cap)
+
+    rows = round_up(required_rows(mesh, bbox_min, bbox_max, config))
+    cfg_rows = dataclasses.replace(config, row_capacity_override=rows)
+    cap = round_up(required_slots(mesh, bbox_min, bbox_max, cfg_rows))
+    return dataclasses.replace(
+        cfg_rows, capacity_override=max(cap, 1 * round_to)
     )
 
 

@@ -188,3 +188,79 @@ def test_conversion_differentiable_wrt_texture():
     g = jax.grad(loss)(tex)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_calibrated_capacity_same_splats():
+    """calibrate() shrinks the slot budget without changing the splat set."""
+    from mesh2splat_tpu.ops.conversion import calibrate
+
+    rng = np.random.default_rng(3)
+    t = 50
+    tri_pos = jnp.asarray(rng.uniform(0, 1, (t, 3, 3)).astype(np.float32))
+    mesh = TriangleMesh(
+        tri_pos=tri_pos,
+        tri_normal=jnp.asarray(
+            np.broadcast_to([0, 0, 1.0], (t, 3, 3)).copy().astype(np.float32)
+        ),
+        tri_tangent=jnp.asarray(
+            np.broadcast_to([1, 0, 0, 1.0], (t, 3, 4)).copy().astype(np.float32)
+        ),
+        tri_uv=jnp.asarray(tri_pos[..., :2]),
+    )
+    mat = Material.default()
+    lo, hi = mesh.bbox()
+    cfg = ConversionConfig(resolution=128, layers=6)
+    cal = calibrate(mesh, lo, hi, cfg, round_to=256)
+    assert cal.capacity <= cfg.capacity
+
+    sp_full = convert(mesh, mat, lo, hi, cfg)
+    sp_cal = convert(mesh, mat, lo, hi, cal)
+    assert int(sp_full.count()) == int(sp_cal.count())
+
+    def live_sorted(sp):
+        v = np.asarray(sp.valid)
+        p = np.asarray(sp.pos)[v]
+        return p[np.lexsort(p.T)]
+
+    np.testing.assert_allclose(
+        live_sorted(sp_full), live_sorted(sp_cal), atol=1e-6
+    )
+
+
+def test_scanline_matches_dense_grid_coverage():
+    """Scanline allocation finds exactly the texels a dense per-texel
+    point-in-triangle test finds (the rasterizer-exactness invariant)."""
+    from mesh2splat_tpu.ops.conversion import (
+        _coverage_top_left, _barycentric)
+    from mesh2splat_tpu.ops.triplanar import triangle_conversion_attrs
+
+    rng = np.random.default_rng(11)
+    t = 40
+    tri_pos = jnp.asarray(rng.uniform(0, 1, (t, 3, 3)).astype(np.float32))
+    mesh = TriangleMesh(
+        tri_pos=tri_pos,
+        tri_normal=jnp.asarray(
+            np.broadcast_to([0, 0, 1.0], (t, 3, 3)).copy().astype(np.float32)
+        ),
+        tri_tangent=jnp.asarray(
+            np.broadcast_to([1, 0, 0, 1.0], (t, 3, 4)).copy().astype(np.float32)
+        ),
+        tri_uv=jnp.asarray(tri_pos[..., :2]),
+    )
+    mat = Material.default()
+    lo, hi = mesh.bbox()
+    res = 64
+    cfg = ConversionConfig(resolution=res, layers=8)
+    sp = convert(mesh, mat, lo, hi, cfg)
+
+    # dense reference: every (tri, texel-center) pair
+    attrs = triangle_conversion_attrs(mesh.tri_pos, lo, hi)
+    ouv = attrs["ortho_uv"]  # (T,3,2)
+    ii, jj = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    centers = (np.stack([jj, ii], -1).reshape(-1, 2) + 0.5) / res  # (res^2,2) (u,v)
+    p = jnp.asarray(centers, jnp.float32)[None]  # (1, res^2, 2)
+    inside = _coverage_top_left(
+        p, ouv[:, None, 0], ouv[:, None, 1], ouv[:, None, 2]
+    )  # (T, res^2)
+    expected = int(np.asarray(inside).sum())
+    assert int(sp.count()) == expected
