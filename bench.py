@@ -112,6 +112,65 @@ def main():
 
     print(f"conversion: {dt*1e3:.2f} ms/mesh ({conv_per_s:.1f}/s)", file=sys.stderr)
 
+    # --- secondary tracked metrics (BASELINE.md): rasterizer Msplats/s and
+    # bwd/fwd ratio at 1080p on the converted model --------------------------
+    try:
+        from mesh2splat_tpu.ops.projection import project_splats
+        from mesh2splat_tpu.render.tiled import rasterize_tiled
+        from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
+
+        wpx, hpx = 1920, 1080
+        cam = make_camera(
+            eye=[0, 0, 3.2], center=[0, 0, 0], up=[0, 1, 0],
+            fov_y_rad=np.pi / 3, width=wpx, height=hpx,
+        )
+
+        def fwd(splats):
+            proj = project_splats(
+                splats, cam, std_dev=cfg.scale_multiplier,
+                render_mode=RenderMode.ALBEDO,
+                splat_format=SplatFormat.MESH2SPLAT,
+            )
+            return rasterize_tiled(proj, wpx, hpx)["albedo"]
+
+        fwd_j = jax.jit(fwd)
+        img = fwd_j(sp)
+        jax.block_until_ready(img)
+        it2 = 10
+        t0 = time.perf_counter()
+        for _ in range(it2):
+            img = fwd_j(sp)
+        jax.block_until_ready(img)
+        t_fwd = (time.perf_counter() - t0) / it2
+
+        import dataclasses
+
+        def loss(pos, color, scale, quat):
+            s2 = dataclasses.replace(
+                sp, pos=pos, color=color, scale=scale, quat=quat
+            )
+            return jnp.mean(fwd(s2))
+
+        grad_j = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        args_g = (sp.pos, sp.color, sp.scale, sp.quat)
+        gr = grad_j(*args_g)
+        jax.block_until_ready(gr)
+        t0 = time.perf_counter()
+        for _ in range(it2):
+            gr = grad_j(*args_g)
+        jax.block_until_ready(gr)
+        t_fb = (time.perf_counter() - t0) / it2
+        ratio = max(t_fb - t_fwd, 0.0) / t_fwd
+
+        msplats = count / t_fwd / 1e6
+        print(
+            f"raster 1080p: {t_fwd*1e3:.2f} ms fwd ({msplats:.1f} Msplats/s), "
+            f"fwd+bwd {t_fb*1e3:.2f} ms, bwd/fwd {ratio:.2f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary metrics must never kill the bench
+        print(f"raster metrics skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "mesh2splat_conversions_per_s",
         "value": round(conv_per_s, 2),

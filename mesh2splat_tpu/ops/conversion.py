@@ -275,7 +275,7 @@ def convert(
         ],
         axis=-1,
     )  # (T, 9)
-    g = geo[row_tri]  # (row_cap, 9) — small-table gather
+    g = jax.lax.optimization_barrier(geo[row_tri])  # (row_cap, 9) gather
     tx0 = g[:, 6].astype(jnp.int32)
     tw = g[:, 8].astype(jnp.int32)
     j = g[:, 7].astype(jnp.int32) + row_local
@@ -325,40 +325,87 @@ def convert(
         ],
         axis=-1,
     )  # (T, 52)
-    rec = record[tri_id_safe]  # (cap, 52) — the one gather
+    # Materialize the gather exactly once: without the barrier XLA fuses
+    # it into each consumer fusion and re-executes the ~12ns/row gather
+    # several times (measured 3x cost at 1.5M slots).
+    rec = jax.lax.optimization_barrier(record[tri_id_safe])  # (cap, 52)
 
-    tp = rec[:, 0:9].reshape(cap, 3, 3)
-    tn = rec[:, 9:18].reshape(cap, 3, 3)
-    tt = rec[:, 18:30].reshape(cap, 3, 4)
-    tuv = rec[:, 30:36].reshape(cap, 3, 2)
-    t_ouv = rec[:, 36:42].reshape(cap, 3, 2)
-    quat = rec[:, 42:46]
-    scale = rec[:, 46:49]
+    # ---- per-slot math, all in 1-D columns --------------------------------
+    # (cap, 3, k) intermediates and cross/norm on (cap, 3) arrays tile to
+    # (8, 128) lanes on TPU — up to 42x padded traffic when materialized —
+    # so every step below stays on flat (cap,) columns.
+    col = lambda i: rec[:, i]
 
     # re-derive the slot's texel coordinates from the record (identical
     # arithmetic to the per-row pass above => identical f32 results)
-    s_tx0 = rec[:, 49].astype(jnp.int32)
-    s_tw = rec[:, 51].astype(jnp.int32)
-    tj = rec[:, 50].astype(jnp.int32) + s_row_local
+    s_tx0 = col(49).astype(jnp.int32)
+    s_tw = col(51).astype(jnp.int32)
+    tj = col(50).astype(jnp.int32) + s_row_local
     y_s = (tj.astype(jnp.float32) + 0.5) / res
     sc0, _, _ = _row_span(rec[:, 36:42], s_tx0, s_tw, y_s, res)
     ti = sc0 + local
-    uv_c = (jnp.stack([ti, tj], axis=-1).astype(jnp.float32) + 0.5) / res
+    pu = (ti.astype(jnp.float32) + 0.5) / res
+    pv = y_s
 
-    bary, _ = _barycentric(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
-    inside = _coverage_top_left(uv_c, t_ouv[:, 0], t_ouv[:, 1], t_ouv[:, 2])
+    au, av = col(36), col(37)
+    bu, bv = col(38), col(39)
+    cu, cv = col(40), col(41)
+
+    # barycentrics (column form of _barycentric)
+    v0u, v0v = bu - au, bv - av
+    v1u, v1v = cu - au, cv - av
+    v2u, v2v = pu - au, pv - av
+    den = v0u * v1v - v1u * v0v
+    safe = jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+    wb = (v2u * v1v - v1u * v2v) / safe
+    wc = (v0u * v2v - v2u * v0v) / safe
+    wa = 1.0 - wb - wc
+
+    # coverage with the top-left fill rule (column form of _coverage_top_left)
+    s_sign = jnp.sign(den)
+
+    def edge_w(p0u, p0v, p1u, p1v):
+        return ((p1u - p0u) * (pv - p0v) - (p1v - p0v) * (pu - p0u)) * s_sign
+
+    def top_left(p0u, p0v, p1u, p1v):
+        du = (p1u - p0u) * s_sign
+        dv = (p1v - p0v) * s_sign
+        return jnp.logical_or(
+            dv < 0, jnp.logical_and(dv == 0, du < 0)
+        )
+
+    def accept(wq, tl):
+        return jnp.logical_or(wq > 0, jnp.logical_and(wq == 0, tl))
+
+    inside = jnp.logical_and(
+        jnp.logical_and(
+            accept(edge_w(au, av, bu, bv), top_left(au, av, bu, bv)),
+            accept(edge_w(bu, bv, cu, cv), top_left(bu, bv, cu, cv)),
+        ),
+        jnp.logical_and(
+            accept(edge_w(cu, cv, au, av), top_left(cu, cv, au, av)),
+            jnp.abs(den) > 1e-20,
+        ),
+    )
     valid = jnp.logical_and(in_budget, inside)
 
-    b = bary[..., None]
-    pos = jnp.sum(tp * b, axis=1)
-    nrm = jnp.sum(tn * b, axis=1)
-    tan = jnp.sum(tt * b, axis=1)
-    uv = jnp.sum(tuv * b, axis=1)
+    # barycentric interpolation, componentwise
+    def lerp3(i0, i1, i2):
+        return col(i0) * wa + col(i1) * wb + col(i2) * wc
+
+    px, py, pz = lerp3(0, 3, 6), lerp3(1, 4, 7), lerp3(2, 5, 8)
+    nx, ny, nz = lerp3(9, 12, 15), lerp3(10, 13, 16), lerp3(11, 14, 17)
+    tx_, ty_, tz_, tw_ = (
+        lerp3(18, 22, 26), lerp3(19, 23, 27), lerp3(20, 24, 28),
+        lerp3(21, 25, 29),
+    )
+    uu, vv = lerp3(30, 32, 34), lerp3(31, 33, 35)
+    uv = jnp.stack([uu, vv], axis=-1)
 
     # ---- texture sampling: ONE fused gather when possible -----------------
     stack = _fused_texture_stack(material)
     if stack is not None:
-        taps = _sample(stack, uv)  # (cap, 10)
+        taps = jax.lax.optimization_barrier(_sample(stack, uv))  # (cap, 10)
         s_albedo = taps[..., 0:4]
         s_normal = taps[..., 4:7]
         s_mr = taps[..., 7:10]
@@ -372,26 +419,32 @@ def convert(
         albedo = jnp.ones((cap, 4), jnp.float32)
     color = albedo * material.base_color_factor
 
-    # normal map via TBN (converterFS.glsl:68-81)
+    # normal map via TBN (converterFS.glsl:68-81), columnwise
     if material.has_normal:
         nm = s_normal if s_normal is not None else _sample(material.normal, uv)
-        n_ts = nm * 2.0 - 1.0
-        n_ts = n_ts / (jnp.linalg.norm(n_ts, axis=-1, keepdims=True) + 1e-12)
-        n_unit = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
-        bitan = jnp.cross(n_unit, tan[..., :3])
-        bitan = bitan / (jnp.linalg.norm(bitan, axis=-1, keepdims=True) + 1e-12)
-        bitan = bitan * tan[..., 3:4]
+        mx, my, mz = (
+            nm[..., 0] * 2.0 - 1.0,
+            nm[..., 1] * 2.0 - 1.0,
+            nm[..., 2] * 2.0 - 1.0,
+        )
+        rinv = jax.lax.rsqrt(mx * mx + my * my + mz * mz + 1e-24)
+        mx, my, mz = mx * rinv, my * rinv, mz * rinv
+        rinv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-24)
+        ux, uy, uz = nx * rinv, ny * rinv, nz * rinv  # unit normal
+        # bitangent = normalize(cross(n_unit, tangent.xyz)) * tangent.w
+        bx = uy * tz_ - uz * ty_
+        by = uz * tx_ - ux * tz_
+        bz = ux * ty_ - uy * tx_
+        rinv = jax.lax.rsqrt(bx * bx + by * by + bz * bz + 1e-24)
+        bx, by, bz = bx * rinv * tw_, by * rinv * tw_, bz * rinv * tw_
         # TBN columns (tangent, bitangent, normal)
-        out_normal = (
-            tan[..., :3] * n_ts[..., 0:1]
-            + bitan * n_ts[..., 1:2]
-            + n_unit * n_ts[..., 2:3]
-        )
-        out_normal = out_normal / (
-            jnp.linalg.norm(out_normal, axis=-1, keepdims=True) + 1e-12
-        )
+        ox = tx_ * mx + bx * my + ux * mz
+        oy = ty_ * mx + by * my + uy * mz
+        oz = tz_ * mx + bz * my + uz * mz
+        rinv = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz + 1e-24)
+        ox, oy, oz = ox * rinv, oy * rinv, oz * rinv
     else:
-        out_normal = nrm
+        ox, oy, oz = nx, ny, nz
 
     # metallic-roughness: map .b = metallic, .g = roughness, defaults
     # (0.1, 0.5) when absent (converterFS.glsl:87-95)
@@ -402,6 +455,11 @@ def convert(
         pbr = jnp.broadcast_to(
             jnp.asarray([0.1, 0.5], jnp.float32), (cap, 2)
         )
+
+    pos = jnp.stack([px, py, pz], axis=-1)
+    out_normal = jnp.stack([ox, oy, oz], axis=-1)
+    quat = rec[:, 42:46]
+    scale = rec[:, 46:49]
 
     return Splats(
         pos=pos,

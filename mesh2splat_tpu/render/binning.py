@@ -114,31 +114,66 @@ def bin_splats(
 
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
-    count = jnp.where(valid, span_x * span_y, 0)
-    if max_tiles_per_splat:
-        count = jnp.minimum(count, max_tiles_per_splat)
 
     # global depth ranks: one sort, like the reference's radix pass
     order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    # expand splats to (tile, rank) pairs via slot allocation
-    offsets, total = segments.alloc_slots(count, pair_capacity)
-    owner, local, in_budget = segments.expand_to_slots(offsets, count, pair_capacity)
-    in_budget = jnp.logical_and(
-        in_budget, jnp.arange(pair_capacity, dtype=jnp.int32) < total
+    # ---- two-level monotone expansion (no dynamic div/mod, native cummax
+    # fills; same playbook as ops/conversion.py stage 2-3) -------------------
+    # level 1: splat -> tile-row
+    trow_cap = pair_capacity  # rows <= pairs (every row spans >= 1 tile)
+    n_trows = jnp.where(valid, span_y, 0)
+    if max_tiles_per_splat:
+        n_trows = jnp.minimum(n_trows, max_tiles_per_splat)
+    trow_off, trow_total = segments.alloc_slots(n_trows, trow_cap)
+    trow_local, _, trow_splat = segments.expand_monotone(
+        trow_off, n_trows, trow_cap, value=jnp.arange(n, dtype=jnp.int32)
     )
+    trow_splat = jnp.maximum(trow_splat, 0)
+    trow_live = jnp.arange(trow_cap, dtype=jnp.int32) < trow_total
 
-    sx = jnp.maximum(span_x[owner], 1)
-    tile_x = tx0[owner] + local % sx
-    tile_y = ty0[owner] + local // sx
-    tile_id = jnp.where(in_budget, tile_y * tx + tile_x, num_tiles)
-    pair_rank = jnp.where(in_budget, rank[owner], n)
+    # per-tile-row data: one packed int gather from a narrow table
+    rowtab = jnp.stack([tx0, span_x, ty0, rank], axis=1)  # (N, 4) int32
+    rt = jax.lax.optimization_barrier(rowtab[trow_splat])  # (trow_cap, 4)
+    r_tx0 = rt[:, 0]
+    r_span = jnp.where(trow_live, rt[:, 1], 0)
+    r_tile_y = rt[:, 2] + trow_local
+    r_rank = rt[:, 3]
+    if max_tiles_per_splat:
+        r_span = jnp.minimum(r_span, max_tiles_per_splat)
 
-    # one lexicographic sort orders every tile's list front-to-back
-    tile_sorted, _, splat_sorted = jax.lax.sort(
-        (tile_id, pair_rank, owner), num_keys=2
+    # level 2: tile-row -> (tile, splat) pair; forward-fill the row id
+    # (monotone) and recover everything else via ONE narrow gather
+    offsets, total = segments.alloc_slots(r_span, pair_capacity)
+    local, _, pair_row = segments.expand_monotone(
+        offsets, r_span, pair_capacity,
+        value=jnp.arange(trow_cap, dtype=jnp.int32),
     )
+    pair_row = jnp.maximum(pair_row, 0)
+    in_budget = jnp.arange(pair_capacity, dtype=jnp.int32) < total
+
+    ptab = jnp.stack(
+        [r_tx0, r_tile_y, r_rank, trow_splat], axis=1
+    )  # (trow_cap, 4)
+    pt = jax.lax.optimization_barrier(ptab[pair_row])  # (pair_capacity, 4)
+    tile_x = pt[:, 0] + local
+    tile_id = jnp.where(in_budget, pt[:, 1] * tx + tile_x, num_tiles)
+    pair_rank = jnp.where(in_budget, pt[:, 2], n)
+    owner = pt[:, 3]
+
+    # one sort orders every tile's list front-to-back. Pack (tile, rank)
+    # into a single int32 key when the bits fit (common case) — a 1-key,
+    # 2-operand sort is markedly cheaper than a 2-key, 3-operand one.
+    rank_bits = max((n - 1).bit_length(), 1)
+    if (num_tiles + 1).bit_length() + rank_bits <= 31:
+        key = tile_id * (1 << rank_bits) + jnp.minimum(pair_rank, n)
+        key_sorted, splat_sorted = jax.lax.sort((key, owner), num_keys=1)
+        tile_sorted = key_sorted >> rank_bits
+    else:
+        tile_sorted, _, splat_sorted = jax.lax.sort(
+            (tile_id, pair_rank, owner), num_keys=2
+        )
 
     contiguous_starts = segments.segment_starts(tile_sorted, num_tiles)
     counts = contiguous_starts[1:] - contiguous_starts[:-1]
@@ -159,8 +194,9 @@ def bin_splats(
     )
 
     # Invert the pair -> padded-slot map with a 1-D scatter (fast on TPU),
-    # then build the padded records with row GATHERS. A direct 2-D row
-    # scatter (.at[dest, :F].set) serializes on TPU and costs seconds.
+    # then build the padded records with ONE row gather from a pre-packed
+    # (N, PAIR_WIDTH-able) record. A direct 2-D row scatter serializes on
+    # TPU, and per-field gathers pay the ~12ns/row gather cost 14 times.
     inv = (
         jnp.full((padded_capacity,), pair_capacity, jnp.int32)
         .at[dest]
@@ -170,27 +206,22 @@ def bin_splats(
     inv_safe = jnp.minimum(inv, pair_capacity - 1)
     sp_idx = splat_sorted[inv_safe]  # (padded_capacity,)
 
-    g = lambda a: a[sp_idx]
-    mean_g = g(mean_px)
-    conic_g = g(proj.conic)
-    color_g = g(proj.color)
-    normal_g = g(proj.normal)
-    ws_g = g(proj.wspos)
-    axes_g = g(proj.axes_px)
-    livef = live.astype(jnp.float32)
-    rows = [
-        mean_g[:, 0], mean_g[:, 1],
-        conic_g[:, 0], conic_g[:, 1], conic_g[:, 2],
-        color_g[:, 0], color_g[:, 1], color_g[:, 2], color_g[:, 3],
-        normal_g[:, 0], normal_g[:, 1], normal_g[:, 2],
-        ws_g[:, 0], ws_g[:, 1], ws_g[:, 2],
-        g(proj.depth),
-        g(proj.pbr)[:, 0], g(proj.pbr)[:, 1],
-        axes_g[:, 0, 0], axes_g[:, 0, 1], axes_g[:, 1, 0], axes_g[:, 1, 1],
-        livef,
-        jnp.zeros_like(livef),
-    ]
-    stacked = jnp.stack(rows, axis=1)  # (padded_capacity, NUM_FIELDS)
+    record = jnp.concatenate(
+        [
+            mean_px,                      # 0, 1
+            proj.conic,                   # 2, 3, 4
+            proj.color,                   # 5..8
+            proj.normal,                  # 9..11
+            proj.wspos,                   # 12..14
+            proj.depth[:, None],          # 15
+            proj.pbr,                     # 16, 17
+            proj.axes_px.reshape(n, 4),   # 18..21
+            jnp.ones((n, 1), jnp.float32),   # 22 F_VALID
+            jnp.zeros((n, 1), jnp.float32),  # 23
+        ],
+        axis=-1,
+    )  # (N, NUM_FIELDS)
+    stacked = jax.lax.optimization_barrier(record[sp_idx])
     stacked = jnp.where(live[:, None], stacked, 0.0)
     pair_data = jnp.pad(stacked, ((0, 0), (0, PAIR_WIDTH - NUM_FIELDS)))
     pair_splat = jnp.where(live, sp_idx, -1)
