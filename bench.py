@@ -119,19 +119,31 @@ def main():
         from mesh2splat_tpu.render.tiled import rasterize_tiled
         from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
 
+        from mesh2splat_tpu.render.binning import calibrate_pairs
+
         wpx, hpx = 1920, 1080
         cam = make_camera(
             eye=[0, 0, 3.2], center=[0, 0, 0], up=[0, 1, 0],
             fov_y_rad=np.pi / 3, width=wpx, height=hpx,
         )
 
-        def fwd(splats):
-            proj = project_splats(
+        def project(splats):
+            return project_splats(
                 splats, cam, std_dev=cfg.scale_multiplier,
                 render_mode=RenderMode.ALBEDO,
                 splat_format=SplatFormat.MESH2SPLAT,
             )
-            return rasterize_tiled(proj, wpx, hpx)["albedo"]
+
+        # size the (tile, splat) pair budget to the scene once (identical
+        # output to any larger budget; cost is ~linear in the budget)
+        pair_cap, row_cap = calibrate_pairs(jax.jit(project)(sp), wpx, hpx)
+        print(f"calibrated pair budget={pair_cap} rows={row_cap}", file=sys.stderr)
+
+        def fwd(splats):
+            return rasterize_tiled(
+                project(splats), wpx, hpx, pair_capacity=pair_cap,
+                row_capacity=row_cap, albedo_only=True,
+            )["albedo"]
 
         fwd_j = jax.jit(fwd)
         img = fwd_j(sp)

@@ -78,13 +78,54 @@ def tiles_for(width: int, height: int) -> tuple[int, int]:
     return -(-height // TILE_H), -(-width // TILE_W)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "pair_capacity", "max_tiles_per_splat"))
+@partial(jax.jit, static_argnames=("width", "height"))
+def required_pairs(proj: ProjectedSplats, width: int, height: int) -> jax.Array:
+    """Exact (tile, splat) pair requirement for this projection — O(N).
+    Rasterization cost is ~linear in pair capacity (sort + expansion +
+    compositing chunks), so sizing the budget to the scene is a direct
+    speedup; see ops/conversion.calibrate for the same pattern."""
+    n = proj.capacity
+    ty, tx = tiles_for(width, height)
+    res_half = jnp.asarray([width, height], jnp.float32) * 0.5
+    mean_px = (proj.mean_ndc + 1.0) * res_half
+    ext = jnp.abs(proj.axes_px[:, 0]) + jnp.abs(proj.axes_px[:, 1])
+    x_lo = mean_px[:, 0] - ext[:, 0]
+    x_hi = mean_px[:, 0] + ext[:, 0]
+    row_c = jnp.asarray(height, jnp.float32) - mean_px[:, 1]
+    y_lo = row_c - ext[:, 1]
+    y_hi = row_c + ext[:, 1]
+    tx0 = jnp.clip(jnp.floor(x_lo / TILE_W).astype(jnp.int32), 0, tx - 1)
+    tx1 = jnp.clip(jnp.floor(x_hi / TILE_W).astype(jnp.int32), 0, tx - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), 0, ty - 1)
+    ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), 0, ty - 1)
+    on_screen = (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
+    valid = proj.valid & on_screen
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    pairs = jnp.sum(jnp.where(valid, span_x * span_y, 0))
+    cols = jnp.sum(jnp.where(valid, span_x, 0))
+    return jnp.stack([pairs, cols])
+
+
+def calibrate_pairs(
+    proj: ProjectedSplats, width: int, height: int, round_to: int = 8192
+) -> tuple[int, int]:
+    """Concrete (pair, tile-column) budgets for this projection, rounded up for
+    layout friendliness. Identical output to any larger budgets."""
+    need = required_pairs(proj, width, height)
+    p, r = int(need[0]), int(need[1])
+    up = lambda v: max(-(-v // round_to) * round_to, round_to)
+    return up(p), up(r)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "pair_capacity", "max_tiles_per_splat", "row_capacity"))
 def bin_splats(
     proj: ProjectedSplats,
     width: int,
     height: int,
     pair_capacity: int,
     max_tiles_per_splat: int = 0,
+    row_capacity: int = 0,
 ) -> BinnedSplats:
     """Build depth-ordered per-tile pair lists from projected splats."""
     n = proj.capacity
@@ -120,45 +161,47 @@ def bin_splats(
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
     # ---- two-level monotone expansion (no dynamic div/mod, native cummax
-    # fills; same playbook as ops/conversion.py stage 2-3) -------------------
-    # level 1: splat -> tile-row
-    trow_cap = pair_capacity  # rows <= pairs (every row spans >= 1 tile)
-    n_trows = jnp.where(valid, span_y, 0)
+    # fills; same playbook as ops/conversion.py stage 2-3). Splats span
+    # fewer tiles horizontally (128-px-wide tiles) than vertically, so
+    # level 1 expands the narrow x-span and level 2 the y-span — the level-1
+    # table gather runs at ~half the rows of the y-first order.
+    tcol_cap = row_capacity or pair_capacity
+    n_tcols = jnp.where(valid, span_x, 0)
     if max_tiles_per_splat:
-        n_trows = jnp.minimum(n_trows, max_tiles_per_splat)
-    trow_off, trow_total = segments.alloc_slots(n_trows, trow_cap)
-    trow_local, _, trow_splat = segments.expand_monotone(
-        trow_off, n_trows, trow_cap, value=jnp.arange(n, dtype=jnp.int32)
+        n_tcols = jnp.minimum(n_tcols, max_tiles_per_splat)
+    tcol_off, tcol_total = segments.alloc_slots(n_tcols, tcol_cap)
+    tcol_local, _, tcol_splat = segments.expand_monotone(
+        tcol_off, n_tcols, tcol_cap, value=jnp.arange(n, dtype=jnp.int32)
     )
-    trow_splat = jnp.maximum(trow_splat, 0)
-    trow_live = jnp.arange(trow_cap, dtype=jnp.int32) < trow_total
+    tcol_splat = jnp.maximum(tcol_splat, 0)
+    tcol_live = jnp.arange(tcol_cap, dtype=jnp.int32) < tcol_total
 
-    # per-tile-row data: one packed int gather from a narrow table
-    rowtab = jnp.stack([tx0, span_x, ty0, rank], axis=1)  # (N, 4) int32
-    rt = jax.lax.optimization_barrier(rowtab[trow_splat])  # (trow_cap, 4)
-    r_tx0 = rt[:, 0]
-    r_span = jnp.where(trow_live, rt[:, 1], 0)
-    r_tile_y = rt[:, 2] + trow_local
-    r_rank = rt[:, 3]
+    # per-tile-column data: one packed int gather from a narrow table
+    coltab = jnp.stack([tx0, span_y, ty0, rank], axis=1)  # (N, 4) int32
+    ct = jax.lax.optimization_barrier(coltab[tcol_splat])  # (tcol_cap, 4)
+    c_tile_x = ct[:, 0] + tcol_local
+    c_span = jnp.where(tcol_live, ct[:, 1], 0)
+    c_ty0 = ct[:, 2]
+    c_rank = ct[:, 3]
     if max_tiles_per_splat:
-        r_span = jnp.minimum(r_span, max_tiles_per_splat)
+        c_span = jnp.minimum(c_span, max_tiles_per_splat)
 
-    # level 2: tile-row -> (tile, splat) pair; forward-fill the row id
+    # level 2: tile-column -> (tile, splat) pair; forward-fill the column id
     # (monotone) and recover everything else via ONE narrow gather
-    offsets, total = segments.alloc_slots(r_span, pair_capacity)
-    local, _, pair_row = segments.expand_monotone(
-        offsets, r_span, pair_capacity,
-        value=jnp.arange(trow_cap, dtype=jnp.int32),
+    offsets, total = segments.alloc_slots(c_span, pair_capacity)
+    local, _, pair_col = segments.expand_monotone(
+        offsets, c_span, pair_capacity,
+        value=jnp.arange(tcol_cap, dtype=jnp.int32),
     )
-    pair_row = jnp.maximum(pair_row, 0)
+    pair_col = jnp.maximum(pair_col, 0)
     in_budget = jnp.arange(pair_capacity, dtype=jnp.int32) < total
 
     ptab = jnp.stack(
-        [r_tx0, r_tile_y, r_rank, trow_splat], axis=1
-    )  # (trow_cap, 4)
-    pt = jax.lax.optimization_barrier(ptab[pair_row])  # (pair_capacity, 4)
-    tile_x = pt[:, 0] + local
-    tile_id = jnp.where(in_budget, pt[:, 1] * tx + tile_x, num_tiles)
+        [c_tile_x, c_ty0, c_rank, tcol_splat], axis=1
+    )  # (tcol_cap, 4)
+    pt = jax.lax.optimization_barrier(ptab[pair_col])  # (pair_capacity, 4)
+    tile_y = pt[:, 1] + local
+    tile_id = jnp.where(in_budget, tile_y * tx + pt[:, 0], num_tiles)
     pair_rank = jnp.where(in_budget, pt[:, 2], n)
     owner = pt[:, 3]
 
@@ -186,25 +229,23 @@ def bin_splats(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )
     pair_live = tile_sorted < num_tiles
+    # Per-tile constant shift maps sorted position -> padded slot, so the
+    # re-layout is ONE tiny-table gather + ONE 1-D scatter (the previous
+    # inverse-map scheme paid two extra ~12ns/row gathers at pair scale).
+    shift = padded_offsets[:num_tiles] - contiguous_starts[:num_tiles]
     dest = jnp.where(
         pair_live,
-        padded_offsets[jnp.minimum(tile_sorted, num_tiles - 1)]
-        + (jnp.arange(pair_capacity, dtype=jnp.int32) - contiguous_starts[jnp.minimum(tile_sorted, num_tiles - 1)]),
+        shift[jnp.minimum(tile_sorted, num_tiles - 1)]
+        + jnp.arange(pair_capacity, dtype=jnp.int32),
         padded_capacity,  # dead pairs dropped via out-of-range scatter
     )
-
-    # Invert the pair -> padded-slot map with a 1-D scatter (fast on TPU),
-    # then build the padded records with ONE row gather from a pre-packed
-    # (N, PAIR_WIDTH-able) record. A direct 2-D row scatter serializes on
-    # TPU, and per-field gathers pay the ~12ns/row gather cost 14 times.
-    inv = (
-        jnp.full((padded_capacity,), pair_capacity, jnp.int32)
+    sp_padded = (
+        jnp.full((padded_capacity,), -1, jnp.int32)
         .at[dest]
-        .set(jnp.arange(pair_capacity, dtype=jnp.int32), mode="drop")
+        .set(splat_sorted, mode="drop")
     )
-    live = inv < pair_capacity  # (padded_capacity,)
-    inv_safe = jnp.minimum(inv, pair_capacity - 1)
-    sp_idx = splat_sorted[inv_safe]  # (padded_capacity,)
+    live = sp_padded >= 0  # (padded_capacity,)
+    sp_idx = jnp.maximum(sp_padded, 0)
 
     record = jnp.concatenate(
         [

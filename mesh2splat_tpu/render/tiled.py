@@ -37,7 +37,7 @@ def _is_tpu() -> bool:
     jax.jit,
     static_argnames=(
         "width", "height", "pair_capacity", "interpret", "render_mode",
-        "albedo_only",
+        "albedo_only", "row_capacity",
     ),
 )
 def rasterize_tiled(
@@ -48,6 +48,7 @@ def rasterize_tiled(
     render_mode: RenderMode = RenderMode.ALBEDO,
     interpret: bool | None = None,
     albedo_only: bool = False,
+    row_capacity: int = 0,
 ):
     """Returns the same dict as rasterize_dense: albedo/position/normal/
     depth/metal_rough (H, W, 4) + transmittance (H, W)."""
@@ -65,7 +66,9 @@ def rasterize_tiled(
         return rasterize_dense(proj, width, height, render_mode=render_mode)
 
     ty, tx = B.tiles_for(width, height)
-    binned = B.bin_splats(proj, width, height, pair_capacity)
+    binned = B.bin_splats(
+        proj, width, height, pair_capacity, row_capacity=row_capacity
+    )
     height_arr = jnp.asarray([height], jnp.int32)
     out = C.composite_tiles(
         binned.pair_data,
