@@ -223,6 +223,36 @@ def _row_span(ouv6, tx0, tw, y, res):
     return c0, c1, xlo <= xhi
 
 
+def _material_sampler(material: Material):
+    """Per-splat texture sampler for a single material, honoring the
+    reference's static has_* uniform flags (converterFS.glsl:15-17).
+    Returns (albedo_rgba | None, normal_map_sample | None, mr | None);
+    albedo already includes u_materialFactor."""
+    stack = _fused_texture_stack(material)
+
+    def sampler(uv, _extra):
+        if stack is not None:
+            taps = jax.lax.optimization_barrier(_sample(stack, uv))
+            s_albedo = taps[..., 0:4]
+            s_normal = taps[..., 4:7]
+            s_mr = taps[..., 7:10]
+        else:
+            s_albedo = s_normal = s_mr = None
+        albedo = None
+        if material.has_base_color:
+            a = s_albedo if s_albedo is not None else _sample(material.base_color, uv)
+            albedo = a * material.base_color_factor
+        n_ts = None
+        if material.has_normal:
+            n_ts = s_normal if s_normal is not None else _sample(material.normal, uv)
+        mr = None
+        if material.has_metallic_roughness:
+            mr = s_mr if s_mr is not None else _sample(material.metallic_roughness, uv)
+        return albedo, n_ts, mr
+
+    return sampler, material.base_color_factor, None
+
+
 @partial(jax.jit, static_argnames=("config",))
 def convert(
     mesh: TriangleMesh,
@@ -230,17 +260,45 @@ def convert(
     bbox_min: jax.Array,
     bbox_max: jax.Array,
     config: ConversionConfig,
+    ortho_uv: jax.Array | None = None,
 ) -> Splats:
     """Convert one primitive (triangle soup + material) to splats.
 
     bbox_min/max: the per-mesh bbox used for ortho-UV normalization
-    (reference: ConversionPass.cpp:111-112 binds mesh.bbox)."""
+    (reference: ConversionPass.cpp:111-112 binds mesh.bbox).
+    ortho_uv: optional (T, 3, 2) custom conversion UVs (see
+    ops.uv_unwrap.unwrap_normalized_uvs)."""
+    sampler, fallback_factor, extra = _material_sampler(material)
+    return _convert_core(
+        mesh, bbox_min, bbox_max, config, sampler, fallback_factor, extra,
+        ortho_uv=ortho_uv,
+    )
+
+
+def _convert_core(
+    mesh: TriangleMesh,
+    bbox_min: jax.Array,        # (3,) or (T, 3) per-triangle
+    bbox_max: jax.Array,
+    config: ConversionConfig,
+    sampler,                    # (uv (cap,2), extra_cols (cap,K)) -> (albedo, n_ts, mr)
+    fallback_factor,            # (4,) or (cap, 4) color when albedo is None
+    extra_record,               # (T, K) float columns to ride the record | None
+    ortho_uv=None,              # (T, 3, 2) custom conversion UVs | None
+) -> Splats:
     res = config.resolution
     cap = config.capacity
     row_cap = config.row_capacity
 
     # ---- stage 1: per-triangle attributes --------------------------------
-    attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
+    if bbox_min.ndim == 2:
+        attrs = triangle_conversion_attrs(
+            mesh.tri_pos, bbox_min[:, None, :], bbox_max[:, None, :],
+            ouv_override=ortho_uv,
+        )
+    else:
+        attrs = triangle_conversion_attrs(
+            mesh.tri_pos, bbox_min, bbox_max, ouv_override=ortho_uv
+        )
     ouv = attrs["ortho_uv"]  # (T, 3, 2)
 
     x0, y0, w, h = _triangle_texel_bbox(ouv, res)
@@ -312,19 +370,19 @@ def convert(
     # ---- stage 4: the fragment shader as ONE record gather ---------------
     # TPU gathers cost ~12 ms per million rows and are flat in row width, so
     # all per-triangle data rides a single packed 52-float record.
-    record = jnp.concatenate(
-        [
-            mesh.tri_pos.reshape(t, 9),
-            mesh.tri_normal.reshape(t, 9),
-            mesh.tri_tangent.reshape(t, 12),
-            mesh.tri_uv.reshape(t, 6),
-            ouv.reshape(t, 6),
-            attrs["quat"],
-            attrs["scale"],
-            geo[:, 6:9],
-        ],
-        axis=-1,
-    )  # (T, 52)
+    parts = [
+        mesh.tri_pos.reshape(t, 9),
+        mesh.tri_normal.reshape(t, 9),
+        mesh.tri_tangent.reshape(t, 12),
+        mesh.tri_uv.reshape(t, 6),
+        ouv.reshape(t, 6),
+        attrs["quat"],
+        attrs["scale"],
+        geo[:, 6:9],
+    ]
+    if extra_record is not None:
+        parts.append(extra_record)
+    record = jnp.concatenate(parts, axis=-1)  # (T, 52 + K)
     # Materialize the gather exactly once: without the barrier XLA fuses
     # it into each consumer fusion and re-executes the ~12ns/row gather
     # several times (measured 3x cost at 1.5M slots).
@@ -402,30 +460,22 @@ def convert(
     uu, vv = lerp3(30, 32, 34), lerp3(31, 33, 35)
     uv = jnp.stack([uu, vv], axis=-1)
 
-    # ---- texture sampling: ONE fused gather when possible -----------------
-    stack = _fused_texture_stack(material)
-    if stack is not None:
-        taps = jax.lax.optimization_barrier(_sample(stack, uv))  # (cap, 10)
-        s_albedo = taps[..., 0:4]
-        s_normal = taps[..., 4:7]
-        s_mr = taps[..., 7:10]
-    else:
-        s_albedo = s_normal = s_mr = None
+    # ---- texture sampling via the provided sampler -------------------------
+    extra_cols = rec[:, 52:] if extra_record is not None else None
+    albedo, n_ts_map, mr = sampler(uv, extra_cols)
 
     # albedo (converterFS.glsl:55-62) x u_materialFactor (:99)
-    if material.has_base_color:
-        albedo = s_albedo if s_albedo is not None else _sample(material.base_color, uv)
+    if albedo is not None:
+        color = albedo
     else:
-        albedo = jnp.ones((cap, 4), jnp.float32)
-    color = albedo * material.base_color_factor
+        color = jnp.broadcast_to(fallback_factor, (cap, 4))
 
     # normal map via TBN (converterFS.glsl:68-81), columnwise
-    if material.has_normal:
-        nm = s_normal if s_normal is not None else _sample(material.normal, uv)
+    if n_ts_map is not None:
         mx, my, mz = (
-            nm[..., 0] * 2.0 - 1.0,
-            nm[..., 1] * 2.0 - 1.0,
-            nm[..., 2] * 2.0 - 1.0,
+            n_ts_map[..., 0] * 2.0 - 1.0,
+            n_ts_map[..., 1] * 2.0 - 1.0,
+            n_ts_map[..., 2] * 2.0 - 1.0,
         )
         rinv = jax.lax.rsqrt(mx * mx + my * my + mz * mz + 1e-24)
         mx, my, mz = mx * rinv, my * rinv, mz * rinv
@@ -448,8 +498,7 @@ def convert(
 
     # metallic-roughness: map .b = metallic, .g = roughness, defaults
     # (0.1, 0.5) when absent (converterFS.glsl:87-95)
-    if material.has_metallic_roughness:
-        mr = s_mr if s_mr is not None else _sample(material.metallic_roughness, uv)
+    if mr is not None:
         pbr = jnp.stack([mr[..., 2], mr[..., 1]], axis=-1)
     else:
         pbr = jnp.broadcast_to(
@@ -481,6 +530,8 @@ def required_rows(
 ) -> jax.Array:
     """Number of (triangle, texel-row) producers the scanline allocator
     needs for this mesh. Cheap: O(T)."""
+    if bbox_min.ndim == 2:
+        bbox_min, bbox_max = bbox_min[:, None, :], bbox_max[:, None, :]
     attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
     x0, y0, w, h = _triangle_texel_bbox(attrs["ortho_uv"], config.resolution)
     finite = jnp.all(
@@ -504,6 +555,8 @@ def required_slots(
     so the budget it returns is exactly what convert will allocate."""
     res = config.resolution
     row_cap = config.row_capacity
+    if bbox_min.ndim == 2:
+        bbox_min, bbox_max = bbox_min[:, None, :], bbox_max[:, None, :]
     attrs = triangle_conversion_attrs(mesh.tri_pos, bbox_min, bbox_max)
     ouv = attrs["ortho_uv"]
     x0, y0, w, h = _triangle_texel_bbox(ouv, res)
@@ -564,6 +617,137 @@ def calibrate(
     cap = round_up(required_slots(mesh, bbox_min, bbox_max, cfg_rows))
     return dataclasses.replace(
         cfg_rows, capacity_override=max(cap, 1 * round_to)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "has_stack", "any_normal", "any_mr"),
+)
+def _convert_packed_impl(
+    merged, bb_lo, bb_hi, extra_record, stack, config,
+    has_stack, any_normal, any_mr,
+):
+    from .sampling import build_tap_atlas_layered, sample_bilinear_atlas_layered
+
+    def sampler(uv, extra_cols):
+        if not has_stack:
+            return extra_cols[:, 1:5], None, None
+        mid = extra_cols[:, 0].astype(jnp.int32)
+        m, h, w, c = stack.shape
+        atlas = build_tap_atlas_layered(stack)
+        taps = jax.lax.optimization_barrier(
+            sample_bilinear_atlas_layered(atlas, h, w, c, uv, mid)
+        )
+        albedo = taps[..., 0:4]
+        n_ts = taps[..., 4:7] if any_normal else None
+        mr = taps[..., 7:10] if any_mr else None
+        return albedo, n_ts, mr
+
+    return _convert_core(
+        merged, bb_lo, bb_hi, config, sampler,
+        jnp.ones((4,), jnp.float32), extra_record,
+    )
+
+
+def convert_packed(
+    primitives, config: ConversionConfig, shared_bbox=None,
+    calibrate_budget: bool = False,
+) -> Splats:
+    """Convert a whole multi-primitive scene in ONE fused pass.
+
+    The reference loops draw calls per mesh but appends into a single shared
+    gaussian SSBO (ConversionPass.cpp:50-52); the TPU-native analogue merges
+    every primitive into one triangle soup with a per-triangle material id
+    and bbox, and texture sampling stays ONE gather via a layered tap atlas.
+
+    Deviations (documented): per-material base_color factors are folded into
+    the texture layers (bit-identical); materials lacking a normal map in a
+    scene where any material has one get a flat (0.5, 0.5, 1) layer, which
+    yields the *normalized* geometric normal instead of the raw interpolated
+    one; textures of differing sizes are bilinearly resized to the largest
+    (the reference likewise resizes at load, parsers.cpp:38-48).
+    """
+    import numpy as np
+
+    meshes = [m for m, _ in primitives]
+    mats = [mt for _, mt in primitives]
+    counts = [int(m.tri_pos.shape[0]) for m in meshes]
+    mid_host = np.repeat(
+        np.arange(len(meshes), dtype=np.float32), counts
+    )[:, None]
+
+    merged = TriangleMesh(
+        tri_pos=jnp.concatenate([m.tri_pos for m in meshes]),
+        tri_normal=jnp.concatenate([m.tri_normal for m in meshes]),
+        tri_tangent=jnp.concatenate([m.tri_tangent for m in meshes]),
+        tri_uv=jnp.concatenate([m.tri_uv for m in meshes]),
+    )
+
+    if shared_bbox is not None:
+        lo, hi = shared_bbox
+        bb_lo = jnp.asarray(lo, jnp.float32)
+        bb_hi = jnp.asarray(hi, jnp.float32)
+    else:
+        parts_lo, parts_hi = [], []
+        for m, c in zip(meshes, counts):
+            lo, hi = m.bbox()
+            parts_lo.append(jnp.broadcast_to(lo, (c, 3)))
+            parts_hi.append(jnp.broadcast_to(hi, (c, 3)))
+        bb_lo = jnp.concatenate(parts_lo)
+        bb_hi = jnp.concatenate(parts_hi)
+
+    any_base = any(mt.has_base_color for mt in mats)
+    any_normal = any(mt.has_normal for mt in mats)
+    any_mr = any(mt.has_metallic_roughness for mt in mats)
+    has_stack = any_base or any_normal or any_mr
+
+    factors = jnp.stack([mt.base_color_factor for mt in mats])  # (M, 4)
+    extra_record = jnp.concatenate(
+        [jnp.asarray(mid_host), factors[jnp.asarray(mid_host[:, 0], jnp.int32)]],
+        axis=-1,
+    )  # (T, 5): material id + folded factor fallback
+
+    if has_stack:
+        hs = [mt.base_color.shape[0] for mt in mats if mt.has_base_color]
+        hs += [mt.normal.shape[0] for mt in mats if mt.has_normal]
+        hs += [mt.metallic_roughness.shape[0] for mt in mats if mt.has_metallic_roughness]
+        ws = [mt.base_color.shape[1] for mt in mats if mt.has_base_color]
+        ws += [mt.normal.shape[1] for mt in mats if mt.has_normal]
+        ws += [mt.metallic_roughness.shape[1] for mt in mats if mt.has_metallic_roughness]
+        h, w = max(hs), max(ws)
+
+        def fit(tex, c, fill):
+            if tex is None:
+                return jnp.broadcast_to(
+                    jnp.asarray(fill, jnp.float32), (h, w, c)
+                )
+            if tex.shape[:2] != (h, w):
+                tex = jax.image.resize(tex, (h, w, c), "linear")
+            return tex
+
+        layers = []
+        for mt in mats:
+            base = fit(mt.base_color if mt.has_base_color else None, 4,
+                       [1.0, 1.0, 1.0, 1.0])
+            base = base * mt.base_color_factor  # fold the factor in
+            nrm = fit(mt.normal if mt.has_normal else None, 3,
+                      [0.5, 0.5, 1.0])
+            mrt = fit(
+                mt.metallic_roughness if mt.has_metallic_roughness else None,
+                3, [0.0, 0.5, 0.1],  # .g = roughness 0.5, .b = metallic 0.1
+            )
+            layers.append(jnp.concatenate([base, nrm, mrt], axis=-1))
+        stack = jnp.stack(layers)  # (M, h, w, 10)
+    else:
+        stack = jnp.zeros((1, 1, 1, 10), jnp.float32)
+
+    if calibrate_budget:
+        config = calibrate(merged, bb_lo, bb_hi, config)
+
+    return _convert_packed_impl(
+        merged, bb_lo, bb_hi, extra_record, stack, config,
+        has_stack, any_normal, any_mr,
     )
 
 

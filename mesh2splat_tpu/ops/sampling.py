@@ -87,3 +87,39 @@ def sample_bilinear_atlas(atlas: jax.Array, h: int, w: int, c: int, uv: jax.Arra
         + t10 * (1 - fu) * fv
         + t11 * fu * fv
     )
+
+
+def build_tap_atlas_layered(tex: jax.Array) -> jax.Array:
+    """Layered tap atlas for a (M, H, W, C) texture array (one material per
+    layer, REPEAT wrap within each layer): (M*H*W, 4C) rows."""
+    m, h, w, c = tex.shape
+    t01 = jnp.roll(tex, -1, axis=2)
+    t10 = jnp.roll(tex, -1, axis=1)
+    t11 = jnp.roll(t10, -1, axis=2)
+    return jnp.concatenate([tex, t01, t10, t11], axis=-1).reshape(
+        m * h * w, 4 * c
+    )
+
+
+def sample_bilinear_atlas_layered(atlas, h, w, c, uv, layer):
+    """Bilinear sample of layer ``layer`` (int32 per row) via a layered tap
+    atlas: still ONE gather for an entire multi-material batch."""
+    u = uv[..., 0] * w - 0.5
+    v = uv[..., 1] * h - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0i = jnp.mod(u0.astype(jnp.int32), w)
+    v0i = jnp.mod(v0.astype(jnp.int32), h)
+    rows = atlas[layer * (h * w) + v0i * w + u0i]  # (..., 4C)
+    t00 = rows[..., 0 * c : 1 * c]
+    t01 = rows[..., 1 * c : 2 * c]
+    t10 = rows[..., 2 * c : 3 * c]
+    t11 = rows[..., 3 * c : 4 * c]
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )

@@ -101,17 +101,24 @@ def uv3d_jacobian(p0, p1, p2, uv0, uv1, uv2):
     return V @ inv
 
 
-def triangle_conversion_attrs(tri_pos, bbox_min, bbox_max):
+def triangle_conversion_attrs(tri_pos, bbox_min, bbox_max, ouv_override=None):
     """All per-triangle conversion quantities in one vmappable pass.
 
     tri_pos: (T, 3, 3). Returns dict with
       ortho_uv (T, 3, 2), quat (T, 4) wxyz, scale (T, 3), normal_geo (T, 3).
     (reference: converterGS.glsl:326-443 main())
-    """
+
+    ouv_override: (T, 3, 2) custom conversion UVs (e.g. from
+    ops.uv_unwrap.unwrap_normalized_uvs — the reference's disabled
+    normalized-UV path, normalizedUvUnwrapping.cpp); the Jacobian then
+    measures position change per custom-UV unit."""
     v0, v1, v2 = tri_pos[:, 0], tri_pos[:, 1], tri_pos[:, 2]
     edge1, normal = triangle_frame(v0, v1, v2)
 
-    ouv = orthogonal_uv(tri_pos, normal[:, None, :], bbox_min, bbox_max)  # (T,3,2)
+    if ouv_override is not None:
+        ouv = ouv_override
+    else:
+        ouv = orthogonal_uv(tri_pos, normal[:, None, :], bbox_min, bbox_max)  # (T,3,2)
 
     # tangent frame -> quaternion (converterGS.glsl:401-407); mat3(x,y,z)
     # has the axes as columns, and quat_cast consumes that matrix.

@@ -67,7 +67,10 @@ class Scene:
     # --------------------------------------------------------------- convert
 
     def convert(self, resolution: int = 512, layers: int = 6,
-                gaussian_std: float = 1.0) -> Splats:
+                gaussian_std: float = 1.0, calibrated: bool = True) -> Splats:
+        """Convert every primitive. ``calibrated`` sizes the slot budget to
+        each mesh (identical splats, ~linear cost savings; set False to
+        reuse one compiled kernel across same-shaped meshes)."""
         if not self.primitives:
             raise ValueError("Scene has no mesh primitives (PLY import?)")
         cfg = ConversionConfig(
@@ -75,12 +78,21 @@ class Scene:
         )
         import jax.numpy as jnp
 
-        parts = []
-        for mesh, mat, pr in self.primitives:
-            lo, hi = pr.bbox()
-            parts.append(convert(mesh, mat, jnp.asarray(lo), jnp.asarray(hi), cfg))
+        from .ops.conversion import calibrate, convert_packed
+
         self.last_config = cfg
-        return parts[0] if len(parts) == 1 else concat_splats(parts)
+        if len(self.primitives) > 1:
+            # one fused pass over the whole scene (per-triangle material id
+            # + layered texture atlas), like the reference's single shared
+            # gaussian SSBO (ConversionPass.cpp:50-52)
+            return convert_packed(
+                [(mesh, mat) for mesh, mat, _ in self.primitives], cfg,
+                calibrate_budget=calibrated,
+            )
+        mesh, mat, pr = self.primitives[0]
+        lo, hi = jnp.asarray(pr.bbox()[0]), jnp.asarray(pr.bbox()[1])
+        pcfg = calibrate(mesh, lo, hi, cfg) if calibrated else cfg
+        return convert(mesh, mat, lo, hi, pcfg)
 
     # ---------------------------------------------------------------- render
 

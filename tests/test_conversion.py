@@ -264,3 +264,44 @@ def test_scanline_matches_dense_grid_coverage():
     )  # (T, res^2)
     expected = int(np.asarray(inside).sum())
     assert int(sp.count()) == expected
+
+
+def test_convert_packed_matches_per_primitive():
+    """convert_packed (one fused pass, layered texture atlas) produces the
+    same splat set as per-primitive convert + concat."""
+    import dataclasses as dc
+
+    from mesh2splat_tpu.ops.conversion import convert_packed
+
+    quad_a = unit_quad(z=0.0)
+    quad_b = unit_quad(z=0.5)
+    # shift quad_b to a different footprint so bboxes differ
+    quad_b = dc.replace(quad_b, tri_pos=quad_b.tri_pos + jnp.asarray([2.0, 0.5, 0]))
+
+    mat_a = dc.replace(
+        Material.default(), base_color=checker_texture(32), has_base_color=True,
+        base_color_factor=jnp.asarray([1.0, 0.5, 1.0, 1.0]),
+    )
+    mat_b = dc.replace(
+        Material.default(),
+        base_color_factor=jnp.asarray([0.2, 0.4, 0.6, 1.0]),
+    )
+    cfg = ConversionConfig(resolution=32, layers=4)
+
+    packed = convert_packed([(quad_a, mat_a), (quad_b, mat_b)], cfg)
+
+    parts = []
+    for mesh, mat in ((quad_a, mat_a), (quad_b, mat_b)):
+        lo, hi = mesh.bbox()
+        parts.append(convert(mesh, mat, lo, hi, cfg))
+
+    def live(sp):
+        v = np.asarray(sp.valid)
+        rows = np.concatenate(
+            [np.asarray(sp.pos), np.asarray(sp.color), np.asarray(sp.pbr)], -1
+        )[v]
+        return rows[np.lexsort(rows.T)]
+
+    ref = np.concatenate([live(p) for p in parts])
+    ref = ref[np.lexsort(ref.T)]
+    np.testing.assert_allclose(live(packed), ref, atol=2e-5)

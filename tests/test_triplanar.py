@@ -92,3 +92,61 @@ def test_conversion_attrs_quad():
     np.testing.assert_allclose(np.abs(R[:, 0]), [s, s, 0], atol=1e-5)
     # identity UV mapping -> scale = (1, 1, 1e-7)
     np.testing.assert_allclose(np.asarray(out["scale"])[0], [1, 1, 1e-7], atol=1e-5)
+
+
+def test_uv_unwrap_charts_disjoint_and_convert():
+    """uv_unwrap gives every face a disjoint [0,1]^2 chart; conversion on the
+    unwrapped atlas emits non-overlapping coverage (exactly one splat per
+    covered texel — replicating what the reference's disabled xatlas path
+    would feed the converter, normalizedUvUnwrapping.cpp:138-316)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.ops.uv_unwrap import unwrap_normalized_uvs
+    from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+    from mesh2splat_tpu.types import Material, TriangleMesh
+
+    rng = np.random.default_rng(5)
+    t = 30
+    tri_pos = rng.uniform(0, 1, (t, 3, 3)).astype(np.float32)
+    uv = unwrap_normalized_uvs(tri_pos)
+    assert uv.shape == (t, 3, 2)
+    assert uv.min() >= 0.0 and uv.max() <= 1.0 + 1e-6
+
+    # rasterize charts on a fine grid: no texel claimed by two triangles
+    res = 256
+    ii, jj = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    centers = (np.stack([jj, ii], -1).reshape(-1, 2) + 0.5) / res
+
+    def inside(tri_uv, p):
+        a, b, c = tri_uv
+        d = (b[0]-a[0])*(c[1]-a[1]) - (c[0]-a[0])*(b[1]-a[1])
+        if abs(d) < 1e-12:
+            return np.zeros(len(p), bool)
+        wb = ((p[:,0]-a[0])*(c[1]-a[1]) - (c[0]-a[0])*(p[:,1]-a[1])) / d
+        wc = ((b[0]-a[0])*(p[:,1]-a[1]) - (p[:,0]-a[0])*(b[1]-a[1])) / d
+        wa = 1 - wb - wc
+        return (wa > 1e-6) & (wb > 1e-6) & (wc > 1e-6)
+
+    hits = np.zeros(res * res, np.int32)
+    for k in range(t):
+        hits += inside(uv[k], centers).astype(np.int32)
+    assert hits.max() <= 1, "overlapping charts"
+    assert hits.sum() > 50  # charts actually cover something
+
+    mesh = TriangleMesh(
+        tri_pos=jnp.asarray(tri_pos),
+        tri_normal=jnp.asarray(
+            np.broadcast_to([0, 0, 1.0], (t, 3, 3)).copy().astype(np.float32)),
+        tri_tangent=jnp.asarray(
+            np.broadcast_to([1, 0, 0, 1.0], (t, 3, 4)).copy().astype(np.float32)),
+        tri_uv=jnp.asarray(tri_pos[..., :2]),
+    )
+    lo, hi = mesh.bbox()
+    cfg = ConversionConfig(resolution=64, layers=4)
+    sp = convert(mesh, Material.default(), lo, hi, cfg,
+                 ortho_uv=jnp.asarray(uv))
+    n = int(sp.count())
+    assert n > 0
+    # no texel double-claimed => splat count <= res^2
+    assert n <= 64 * 64
