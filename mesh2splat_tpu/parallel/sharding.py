@@ -99,3 +99,69 @@ def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
     """Shard leading (batch) dim across devices."""
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def rasterize_sharded(
+    proj,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    pair_capacity: int = 0,
+    albedo_only: bool = False,
+):
+    """Rasterize with image tiles sharded across devices: each device owns a
+    horizontal band of tile rows (SURVEY.md section 2.5 — image-tile
+    sharding). Splats are replicated; there is NO communication in the
+    forward pass, and the backward all-reduces per-splat gradients
+    automatically (shard_map transposes the replicated use into a psum).
+
+    height must divide evenly into n_devices * TILE_H bands. Returns the
+    full (height, width, 4) premultiplied albedo image, row-sharded.
+    """
+    from ..ops.projection import ProjectedSplats
+    from ..render.binning import TILE_H
+    from ..render.tiled import rasterize_tiled
+
+    n = mesh.shape[axis]
+    band_h = height // n
+    if band_h * n != height or band_h % TILE_H != 0:
+        raise ValueError(
+            f"height {height} must be divisible by n_devices*TILE_H "
+            f"({n}*{TILE_H})"
+        )
+
+    proj = replicate(proj, mesh)
+
+    def band(proj_local):
+        idx = jax.lax.axis_index(axis)
+        y0 = (idx * band_h).astype(jnp.float32)
+        # shift the projection so this band maps to local rows [0, band_h):
+        # local_row = global_row - y0 with global_row = height - mean_px_y
+        mean_px_y = (proj_local.mean_ndc[:, 1] + 1.0) * (height * 0.5)
+        mean_px_y_local = mean_px_y - (height - y0 - band_h)
+        mean_ndc_y = mean_px_y_local / (band_h * 0.5) - 1.0
+        shifted = ProjectedSplats(
+            mean_ndc=jnp.stack([proj_local.mean_ndc[:, 0], mean_ndc_y], -1),
+            axes_px=proj_local.axes_px,
+            conic=proj_local.conic,
+            depth=proj_local.depth,
+            color=proj_local.color,
+            normal=proj_local.normal,
+            wspos=proj_local.wspos,
+            pbr=proj_local.pbr,
+            valid=proj_local.valid,
+        )
+        out = rasterize_tiled(
+            shifted, width, band_h, pair_capacity=pair_capacity,
+            albedo_only=albedo_only,
+        )
+        return out["albedo"]
+
+    f = jax.shard_map(
+        band, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), proj),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return f(proj)

@@ -133,3 +133,47 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_rasterize_sharded_matches_single_device():
+    """Image-tile (band) sharded rasterization == single-device tiled."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mesh2splat_tpu.ops.conversion import ConversionConfig, convert
+    from mesh2splat_tpu.ops.projection import project_splats
+    from mesh2splat_tpu.parallel.sharding import make_mesh, rasterize_sharded
+    from mesh2splat_tpu.render.tiled import rasterize_tiled
+    from mesh2splat_tpu.types import (
+        Material, RenderMode, SplatFormat, TriangleMesh, make_camera,
+    )
+
+    v = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+                 np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]])
+    mesh_geom = TriangleMesh(
+        tri_pos=jnp.asarray(v[tris]),
+        tri_normal=jnp.asarray(
+            np.broadcast_to([0, 0, 1.0], (2, 3, 3)).copy().astype(np.float32)),
+        tri_tangent=jnp.asarray(
+            np.broadcast_to([1, 0, 0, 1.0], (2, 3, 4)).copy().astype(np.float32)),
+        tri_uv=jnp.asarray((v[tris][..., :2] + 0.5).copy()),
+    )
+    cfg = ConversionConfig(resolution=32, layers=3)
+    lo, hi = mesh_geom.bbox()
+    sp = convert(mesh_geom, Material.default(), lo, hi, cfg)
+
+    w, h = 128, 128  # 8 devices x TILE_H=8 -> band 16 rows
+    cam = make_camera(eye=[0, 0, 2], center=[0, 0, 0], up=[0, 1, 0],
+                      fov_y_rad=np.pi / 3, width=w, height=h)
+    proj = project_splats(sp, cam, std_dev=cfg.scale_multiplier,
+                          render_mode=RenderMode.ALBEDO,
+                          splat_format=SplatFormat.MESH2SPLAT)
+
+    single = rasterize_tiled(proj, w, h, albedo_only=True)["albedo"]
+    dev_mesh = make_mesh(len(jax.devices()))
+    banded = rasterize_sharded(proj, w, h, dev_mesh, albedo_only=True)
+    np.testing.assert_allclose(
+        np.asarray(banded), np.asarray(single), atol=1e-5
+    )
