@@ -114,6 +114,29 @@ def _accessor_data(gltf, binary, accessor_index) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def _accessor_floats(gltf, binary, accessor_index) -> np.ndarray:
+    """Float32 accessor decode; native C++ fast path (csrc/glb_decode.cpp)
+    with the pure-numpy _accessor_data fallback."""
+    from . import native
+
+    acc = gltf["accessors"][accessor_index]
+    if "sparse" not in acc and "bufferView" in acc:
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        ncomp = _TYPE_COUNTS[acc["type"]]
+        itemsize = np.dtype(dtype).itemsize * ncomp
+        view = gltf["bufferViews"][acc["bufferView"]]
+        base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride", 0) or itemsize
+        out = native.accessor_decode(
+            bytes(binary[base:base + stride * acc["count"]]),
+            acc["count"], ncomp, acc["componentType"], stride,
+            bool(acc.get("normalized")),
+        )
+        if out is not None:
+            return out
+    return _accessor_data(gltf, binary, accessor_index).astype(np.float32)
+
+
 def _node_local_transform(node) -> np.ndarray:
     if "matrix" in node:
         # glTF matrices are column-major (SceneManager.cpp:226-230)
@@ -208,7 +231,6 @@ def load_glb(path_or_bytes) -> list[GltfPrimitive]:
     counter = 0
     for mesh_index, world in instances:
         mesh = gltf["meshes"][mesh_index]
-        normal_matrix = np.linalg.inv(world[:3, :3]).T
 
         for prim in mesh.get("primitives", []):
             if prim.get("mode", 4) != 4:  # TRIANGLES only (:294-297)
@@ -217,7 +239,7 @@ def load_glb(path_or_bytes) -> list[GltfPrimitive]:
             if "POSITION" not in attrs:
                 continue
 
-            pos = _accessor_data(gltf, binary, attrs["POSITION"]).astype(np.float32)
+            pos = _accessor_floats(gltf, binary, attrs["POSITION"])
             if "indices" in prim:
                 idx = _accessor_data(gltf, binary, prim["indices"]).reshape(-1)
                 idx = idx.astype(np.uint32)
@@ -227,54 +249,75 @@ def load_glb(path_or_bytes) -> list[GltfPrimitive]:
                 continue
             tri_idx = idx.reshape(-1, 3)
 
-            world_pos = pos @ world[:3, :3].T + world[:3, 3]
-            tri_pos = world_pos[tri_idx]
+            nrm = (
+                _accessor_floats(gltf, binary, attrs["NORMAL"])
+                if "NORMAL" in attrs else None
+            )
+            uv = (
+                _accessor_floats(gltf, binary, attrs["TEXCOORD_0"])
+                if "TEXCOORD_0" in attrs else None
+            )
+            tan = (
+                _accessor_floats(gltf, binary, attrs["TANGENT"])
+                if "TANGENT" in attrs else None
+            )
 
-            if "NORMAL" in attrs:
-                nrm = _accessor_data(gltf, binary, attrs["NORMAL"]).astype(np.float32)
-                nrm_w = nrm @ normal_matrix.T
-                nrm_w /= np.linalg.norm(nrm_w, axis=-1, keepdims=True) + 1e-12
-                tri_normal = nrm_w[tri_idx]
-            else:
-                # flat fallback (:406-413)
-                fn = np.cross(
-                    tri_pos[:, 1] - tri_pos[:, 0], tri_pos[:, 2] - tri_pos[:, 0]
-                )
-                fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12
-                tri_normal = np.repeat(fn[:, None, :], 3, axis=1)
+            normal_matrix = np.linalg.inv(world[:3, :3]).T
 
-            if "TEXCOORD_0" in attrs:
-                uv = _accessor_data(gltf, binary, attrs["TEXCOORD_0"]).astype(np.float32)
-                tri_uv = uv[tri_idx]
-            else:
-                tri_uv = np.zeros((tri_idx.shape[0], 3, 2), np.float32)
+            from . import native
 
-            if "TANGENT" in attrs:
-                tan = _accessor_data(gltf, binary, attrs["TANGENT"]).astype(np.float32)
-                t_w = tan[:, :3] @ world[:3, :3].T
-                t_w /= np.linalg.norm(t_w, axis=-1, keepdims=True) + 1e-12
-                tan_w = np.concatenate([t_w, tan[:, 3:4]], axis=-1)
-                tri_tangent = tan_w[tri_idx]
+            assembled = native.assemble_triangles(
+                pos, nrm, uv, tan, tri_idx.reshape(-1), world, normal_matrix
+            )
+            if assembled is not None:
+                tri_pos, tri_normal, tri_uv, tri_tangent = assembled
             else:
-                # per-face UV-derived fallback (:424-451)
-                dp1 = tri_pos[:, 1] - tri_pos[:, 0]
-                dp2 = tri_pos[:, 2] - tri_pos[:, 0]
-                duv1 = tri_uv[:, 1] - tri_uv[:, 0]
-                duv2 = tri_uv[:, 2] - tri_uv[:, 0]
-                det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-                det = np.where(np.abs(det) < 1e-8, 1.0, det)
-                inv = (1.0 / det)[:, None]
-                tangent = (dp1 * duv2[:, 1:2] - dp2 * duv1[:, 1:2]) * inv
-                bitangent = (dp2 * duv1[:, 0:1] - dp1 * duv2[:, 0:1]) * inv
-                tangent /= np.linalg.norm(tangent, axis=-1, keepdims=True) + 1e-12
-                bitangent /= np.linalg.norm(bitangent, axis=-1, keepdims=True) + 1e-12
-                fn = np.cross(dp1, dp2)
-                fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12
-                handed = np.where(
-                    np.sum(np.cross(fn, tangent) * bitangent, axis=-1) < 0, -1.0, 1.0
-                )
-                face_tan = np.concatenate([tangent, handed[:, None]], axis=-1)
-                tri_tangent = np.repeat(face_tan[:, None, :], 3, axis=1).astype(np.float32)
+                # pure-numpy fallback (same math as csrc/glb_decode.cpp)
+                world_pos = pos @ world[:3, :3].T + world[:3, 3]
+                tri_pos = world_pos[tri_idx]
+
+                if nrm is not None:
+                    nrm_w = nrm @ normal_matrix.T
+                    nrm_w /= np.linalg.norm(nrm_w, axis=-1, keepdims=True) + 1e-12
+                    tri_normal = nrm_w[tri_idx]
+                else:
+                    # flat fallback (:406-413)
+                    fn = np.cross(
+                        tri_pos[:, 1] - tri_pos[:, 0], tri_pos[:, 2] - tri_pos[:, 0]
+                    )
+                    fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12
+                    tri_normal = np.repeat(fn[:, None, :], 3, axis=1)
+
+                if uv is not None:
+                    tri_uv = uv[tri_idx]
+                else:
+                    tri_uv = np.zeros((tri_idx.shape[0], 3, 2), np.float32)
+
+                if tan is not None:
+                    t_w = tan[:, :3] @ world[:3, :3].T
+                    t_w /= np.linalg.norm(t_w, axis=-1, keepdims=True) + 1e-12
+                    tan_w = np.concatenate([t_w, tan[:, 3:4]], axis=-1)
+                    tri_tangent = tan_w[tri_idx]
+                else:
+                    # per-face UV-derived fallback (:424-451)
+                    dp1 = tri_pos[:, 1] - tri_pos[:, 0]
+                    dp2 = tri_pos[:, 2] - tri_pos[:, 0]
+                    duv1 = tri_uv[:, 1] - tri_uv[:, 0]
+                    duv2 = tri_uv[:, 2] - tri_uv[:, 0]
+                    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+                    det = np.where(np.abs(det) < 1e-8, 1.0, det)
+                    inv = (1.0 / det)[:, None]
+                    tangent = (dp1 * duv2[:, 1:2] - dp2 * duv1[:, 1:2]) * inv
+                    bitangent = (dp2 * duv1[:, 0:1] - dp1 * duv2[:, 0:1]) * inv
+                    tangent /= np.linalg.norm(tangent, axis=-1, keepdims=True) + 1e-12
+                    bitangent /= np.linalg.norm(bitangent, axis=-1, keepdims=True) + 1e-12
+                    fn = np.cross(dp1, dp2)
+                    fn /= np.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12
+                    handed = np.where(
+                        np.sum(np.cross(fn, tangent) * bitangent, axis=-1) < 0, -1.0, 1.0
+                    )
+                    face_tan = np.concatenate([tangent, handed[:, None]], axis=-1)
+                    tri_tangent = np.repeat(face_tan[:, None, :], 3, axis=1).astype(np.float32)
 
             # material (SceneManager.cpp parseGltfMaterial + ConversionPass bindings)
             mat_idx = prim.get("material", -1)

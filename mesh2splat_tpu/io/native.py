@@ -25,9 +25,9 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists() or (
-            _LIB_PATH.stat().st_mtime
-            < (_CSRC / "ply_codec.cpp").stat().st_mtime
+        srcs = [_CSRC / "ply_codec.cpp", _CSRC / "glb_decode.cpp"]
+        if not _LIB_PATH.exists() or any(
+            _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
         ):
             subprocess.run(
                 ["make", "-s"], cwd=_CSRC, check=True, capture_output=True
@@ -48,6 +48,18 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, f32p, f32p, f32p, f32p, f32p, f32p,
+        ]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.m2s_accessor_decode.restype = ctypes.c_int
+        lib.m2s_accessor_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_int, f32p,
+        ]
+        lib.m2s_assemble_triangles.restype = None
+        lib.m2s_assemble_triangles.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            u32p, ctypes.c_longlong, f32p, f32p,
+            f32p, f32p, f32p, f32p,
         ]
         _lib = lib
     except Exception:
@@ -106,3 +118,54 @@ def decode_float_body(
         "pos": pos, "color": color, "scale": scale,
         "normal": normal, "quat": quat, "pbr": pbr,
     }
+
+
+def accessor_decode(raw: bytes, count: int, ncomp: int, component_type: int,
+                    stride: int, normalized: bool) -> np.ndarray | None:
+    """Native strided glTF accessor decode to float32; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((count, ncomp), np.float32)
+    rc = lib.m2s_accessor_decode(
+        raw, count, ncomp, component_type, stride, int(normalized), out
+    )
+    return out if rc == 0 else None
+
+
+def assemble_triangles(pos, nrm, uv, tan, idx, world, normal_mat):
+    """Native world-space triangle assembly with the reference's fallbacks;
+    None if unavailable. Inputs are numpy float32/uint32 arrays (nrm/uv/tan
+    may be None)."""
+    lib = _load()
+    if lib is None:
+        return None
+    f = int(idx.size // 3)
+    tri_pos = np.empty((f, 3, 3), np.float32)
+    tri_normal = np.empty((f, 3, 3), np.float32)
+    tri_uv = np.empty((f, 3, 2), np.float32)
+    tri_tangent = np.empty((f, 3, 4), np.float32)
+
+    def ptr(a):
+        if a is None:
+            return None
+        a = np.ascontiguousarray(a, np.float32)
+        return a.ctypes.data_as(ctypes.c_void_p), a
+
+    keep = []
+    args = []
+    for a in (pos, nrm, uv, tan):
+        r = ptr(a)
+        if r is None:
+            args.append(None)
+        else:
+            args.append(r[0])
+            keep.append(r[1])
+    lib.m2s_assemble_triangles(
+        args[0], args[1], args[2], args[3],
+        np.ascontiguousarray(idx, np.uint32), f,
+        np.ascontiguousarray(world, np.float32).reshape(-1),
+        np.ascontiguousarray(normal_mat, np.float32).reshape(-1),
+        tri_pos, tri_normal, tri_uv, tri_tangent,
+    )
+    return tri_pos, tri_normal, tri_uv, tri_tangent

@@ -92,3 +92,67 @@ def test_native_decode_matches_python(lib_ok, tmp_path):
     ref, _ = ply.read_ply(p)
     for k in ("pos", "color", "scale", "normal", "quat", "pbr"):
         np.testing.assert_allclose(dec[k], ref[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_native_accessor_decode_matches_numpy():
+    import numpy as np
+
+    from mesh2splat_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    # interleaved u16-normalized UVs with stride 12
+    raw = rng.integers(0, 65535, (7, 6), dtype=np.uint16).tobytes()
+    out = native.accessor_decode(raw, 7, 2, 5123, 12, True)
+    ref = np.frombuffer(raw, np.uint16).reshape(7, 6)[:, :2] / 65535.0
+    np.testing.assert_allclose(out, ref.astype(np.float32), atol=1e-7)
+
+    # f32 strided
+    raw = rng.standard_normal((5, 5)).astype(np.float32).tobytes()
+    out = native.accessor_decode(raw, 5, 3, 5126, 20, False)
+    ref = np.frombuffer(raw, np.float32).reshape(5, 5)[:, :3]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_native_assemble_matches_python_loader():
+    """Native triangle assembly == the numpy path in io/gltf.py for a real
+    GLB (incl. flat-normal and tangent fallbacks)."""
+    import pathlib
+    import tempfile
+
+    import numpy as np
+
+    from mesh2splat_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+    idx = np.arange(30, dtype=np.uint32)
+    world = np.eye(4, dtype=np.float32)
+    world[:3, 3] = [0.5, -0.25, 2.0]
+    nmat = np.eye(3, dtype=np.float32)
+    uv = rng.uniform(0, 1, (30, 2)).astype(np.float32)
+
+    tp, tn, tuv, tt = native.assemble_triangles(
+        v, None, uv, None, idx, world, nmat
+    )
+    # positions transformed
+    ref_pos = (v @ world[:3, :3].T + world[:3, 3])[idx.reshape(-1, 3)]
+    np.testing.assert_allclose(tp, ref_pos, atol=1e-6)
+    # flat normals: unit, orthogonal to both edges
+    e1 = tp[:, 1] - tp[:, 0]
+    e2 = tp[:, 2] - tp[:, 0]
+    np.testing.assert_allclose(np.linalg.norm(tn[:, 0], axis=-1), 1, atol=1e-5)
+    dot = np.abs(np.einsum("ij,ij->i", tn[:, 0], e1))
+    assert dot.max() < 1e-4
+    # tangent fallback: unit xyz, handedness +-1
+    np.testing.assert_allclose(
+        np.linalg.norm(tt[..., :3], axis=-1), 1, atol=1e-4
+    )
+    assert set(np.unique(np.abs(tt[..., 3]))) == {1.0}
