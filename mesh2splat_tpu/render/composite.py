@@ -362,6 +362,81 @@ def _backward_kernel(
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
+def _min_depth_kernel(
+    starts_ref, counts_ref, height_ref, pairs_hbm, out_ref, scratch, sem
+):
+    """Per-tile MIN of F_DEPTH over covering pairs — the hardware depth-test
+    semantics of the reference's 6 instanced shadow draws (gl_FragDepth =
+    radial distance, GL_LESS; GaussianShadowPass.cpp:156-236,
+    gaussianPointLightCubeMapShadowPS.glsl:17). Order-independent: no sorted
+    traversal or transmittance needed."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_id = ti * pl.num_programs(1) + tj
+    start = starts_ref[tile_id]
+    end = start + counts_ref[tile_id]
+
+    px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
+    out_ref[...] = jnp.full((1, TILE_H, TILE_W), 3e38, jnp.float32)
+
+    num_chunks = (end - start + CHUNK - 1) // CHUNK
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
+        s = scratch[slot]
+        base = start + c * CHUNK
+        g, _, _ = _splat_eval_chunk(s, px, py, _live_mask(base, end))
+        z = jnp.where(g > 0.0, _row(s, B.F_DEPTH), 3e38)
+        out_ref[0] = jnp.minimum(out_ref[0], jnp.min(z, axis=0))
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+def min_depth_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
+                    interpret):
+    """(1, ty*TILE_H, tx*TILE_W) per-pixel min of F_DEPTH over covering
+    pairs; 3e38 where uncovered. Forward-only (like the reference's shadow
+    pass)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ty, tx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, B.PAIR_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _min_depth_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (1, ty * TILE_H, tx * TILE_W), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_starts, tile_counts, height_arr, pair_data)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def composite_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
                     interpret, albedo_only=False):

@@ -25,7 +25,7 @@ from .shadows import pcf_shadow_factor, render_shadow_cubemap
 from .tiled import rasterize_tiled
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class FrameConfig:
     """Static per-frame settings (the UI-controlled knobs of ImGuiUi)."""
 
@@ -72,18 +72,14 @@ def render_gbuffer(
     )
 
 
-def render_frame(
-    splats: Splats,
-    camera: Camera,
-    config: FrameConfig,
-    light: PointLight | None = None,
-    mesh: TriangleMesh | None = None,
-    material: Material | None = None,
-):
-    """Full frame to a (H, W, 3) image. Optional mesh enables the depth
-    prepass (occlusion culling) when config.depth_test_mesh is set."""
-    light = light or PointLight.default()
+import functools
 
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _frame_core(splats, camera, light, mesh, material, cubemap,
+                config: FrameConfig):
+    """Everything after shadow-map rendering, fused into ONE dispatch (eager
+    op-by-op orchestration costs ~50ms/dispatch on a tunneled device)."""
     depth_map = None
     if mesh is not None and config.depth_test_mesh:
         _, depth_ndc = rasterize_mesh(
@@ -97,17 +93,38 @@ def render_frame(
     gbuffer = render_gbuffer(splats, camera, config, depth_map=depth_map)
 
     shadow = None
-    if config.shadows and int(config.render_mode) == int(RenderMode.FINAL):
-        cubemap = render_shadow_cubemap(
-            splats, light.position, far=25.0, std_dev=config.std_dev,
-            size=config.shadow_size,
-        )
+    if cubemap is not None:
         shadow = pcf_shadow_factor(cubemap, gbuffer["position"][..., :3])
 
     cam_pos = -(camera.world_to_view[:3, :3].T @ camera.world_to_view[:3, 3])
     return deferred_resolve(
         gbuffer, cam_pos, light,
         render_mode=config.render_mode, shadow_factor=shadow,
+    )
+
+
+def render_frame(
+    splats: Splats,
+    camera: Camera,
+    config: FrameConfig,
+    light: PointLight | None = None,
+    mesh: TriangleMesh | None = None,
+    material: Material | None = None,
+):
+    """Full frame to a (H, W, 3) image. Optional mesh enables the depth
+    prepass (occlusion culling) when config.depth_test_mesh is set."""
+    light = light or PointLight.default()
+
+    cubemap = None
+    if config.shadows and int(config.render_mode) == int(RenderMode.FINAL):
+        cubemap = render_shadow_cubemap(
+            splats, light.position, far=25.0, std_dev=config.std_dev,
+            size=config.shadow_size,
+        )
+
+    return _frame_core(
+        splats, camera, light,
+        mesh if config.depth_test_mesh else None, material, cubemap, config,
     )
 
 

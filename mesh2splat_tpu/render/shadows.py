@@ -97,7 +97,49 @@ def dominant_face(d):
     return (axis * 2 + (comp < 0).astype(jnp.int32)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("size", "chunk"))
+@partial(jax.jit, static_argnames=("size",))
+def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
+    """One fused dispatch: face assignment, radial depths, all 6 face
+    projections, and per-face (pair, col) budget requirements. Eager op-by-
+    op orchestration costs ~50ms/dispatch on a tunneled device, so the whole
+    prep is a single program."""
+    from .binning import required_pairs
+
+    splat_face = dominant_face(splats.pos - light_pos)
+    cams = face_cameras(light_pos, far, size)
+    radial = jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
+
+    projs, needs = [], []
+    for f in range(6):
+        in_face = jnp.logical_and(splats.valid, splat_face == f)
+        pr = project_splats(
+            dataclasses.replace(splats, valid=in_face), cams[f],
+            std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
+        )
+        projs.append(pr)
+        needs.append(required_pairs(pr, size, size))
+    return radial, tuple(projs), jnp.stack(needs)
+
+
+@partial(jax.jit, static_argnames=("size", "pair_capacity"))
+def _face_min_raster(proj, radial, size: int, pair_capacity: int):
+    """One fused dispatch per face: radial-depth binning + MIN kernel +
+    uncovered fill."""
+    from . import binning as B
+    from . import composite as C
+    from .tiled import _is_tpu
+
+    depth_proj = dataclasses.replace(proj, depth=radial)
+    binned = B.bin_splats(depth_proj, size, size, pair_capacity)
+    ty, tx = B.tiles_for(size, size)
+    out = C.min_depth_tiles(
+        binned.pair_data, binned.tile_starts, binned.tile_counts,
+        jnp.asarray([size], jnp.int32), ty, tx, not _is_tpu(),
+    )
+    depth = out[0, :size, :size]
+    return jnp.where(depth > 1e37, 1.0, depth)
+
+
 def render_shadow_cubemap(
     splats: Splats,
     light_pos,
@@ -105,30 +147,45 @@ def render_shadow_cubemap(
     std_dev,
     size: int = 256,
     chunk: int = 256,
+    method: str = "auto",
+    pair_capacity: int = 0,
 ) -> ShadowCubemap:
     """Render all 6 faces. The reference uses 1024^2 faces
-    (GaussianShadowPass.cpp:14-19); size is configurable here."""
+    (GaussianShadowPass.cpp:14-19); size is configurable here.
+
+    method: "dense" evaluates every (splat, pixel) pair — exact radial min,
+    O(N * size^2), fine for small maps/tests. "tiled" rides the tile-binned
+    MIN-depth Pallas kernel — the exact depth-test semantics of the
+    reference's 6 instanced depth-only draws (GaussianShadowPass.cpp:156-236)
+    at production scale. "auto" picks tiled for production sizes.
+    """
     light_pos = jnp.asarray(light_pos, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
-    splat_face = dominant_face(splats.pos - light_pos)
-    cams = face_cameras(light_pos, far, size)
 
-    radial = (
-        jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
-    )  # ShadowPS.glsl:17
+    if method == "auto":
+        method = "tiled" if size >= 512 or splats.capacity > 65536 else "dense"
 
-    faces = []
-    for f in range(6):
-        in_face = jnp.logical_and(splats.valid, splat_face == f)
-        sub = Splats(
-            pos=splats.pos, color=splats.color, scale=splats.scale,
-            normal=splats.normal, quat=splats.quat, pbr=splats.pbr,
-            valid=in_face,
-        )
-        proj = project_splats(
-            sub, cams[f], std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
-        )
-        faces.append(_min_rasterize_face(proj, radial, size, chunk))
+    radial, projs, needs = _shadow_prep(splats, light_pos, far, std_dev, size)
+
+    if method == "tiled":
+        if pair_capacity:
+            face_caps = [pair_capacity] * 6
+        else:
+            # per-face budgets rounded up to powers of two so similarly
+            # loaded faces share one compiled kernel (ONE host readback)
+            face_caps = [
+                1 << max(int(n[0]) - 1, 1).bit_length()
+                for n in np.asarray(needs)
+            ]
+        faces = [
+            _face_min_raster(projs[f], radial, size, face_caps[f])
+            for f in range(6)
+        ]
+    else:
+        faces = [
+            _min_rasterize_face(projs[f], radial, size, chunk)
+            for f in range(6)
+        ]
     return ShadowCubemap(
         faces=jnp.stack(faces), light_pos=light_pos, far=far
     )

@@ -66,3 +66,43 @@ def test_cubemap_sample_roundtrip():
     faces = faces.at[2, 8, 8].set(0.25)  # +Y face center
     v = SH.sample_cubemap(faces, jnp.asarray([[0.0, 1.0, 0.0]]))
     np.testing.assert_allclose(np.asarray(v), [0.25])
+
+
+def test_tiled_shadow_matches_dense():
+    """Production (tiled first-hit) shadow faces match the dense min
+    rasterizer on an opaque test scene."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.render.shadows import render_shadow_cubemap
+    from mesh2splat_tpu.types import Splats
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    sp = Splats(
+        pos=jnp.asarray(pos),
+        color=jnp.concatenate(
+            [jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+             jnp.ones((n, 1))], -1),
+        scale=jnp.full((n, 3), 0.03, jnp.float32),
+        normal=jnp.broadcast_to(jnp.asarray([0, 0, 1.0]), (n, 3)),
+        quat=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4)),
+        pbr=jnp.full((n, 2), 0.5, jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+    light, far = [0.0, 0.0, 3.0], 10.0
+    dense = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
+                                  method="dense")
+    tiled = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
+                                  method="tiled")
+    d = np.asarray(dense.faces)
+    t = np.asarray(tiled.faces)
+    # identical coverage, and depth agrees where covered (first-hit vs exact
+    # min differ only on sub-pixel z/radial order inversions)
+    cov_d, cov_t = d < 1.0, t < 1.0
+    assert (cov_d == cov_t).mean() > 0.999
+    both = cov_d & cov_t
+    # radial-sorted first hit == exact min up to the kernel's 0.9999 alpha
+    # clamp (1e-4 relative)
+    assert np.abs(d[both] - t[both]).max() < 2e-3
