@@ -437,6 +437,78 @@ def min_depth_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
     )(tile_starts, tile_counts, height_arr, pair_data)
 
 
+def _additive_kernel(
+    starts_ref, counts_ref, height_ref, pairs_hbm, out_ref, scratch, sem
+):
+    """Order-independent additive blending (GL_ONE, GL_ONE) of the constant
+    overdraw color per covering gaussian — the reference's OVERDRAW debug
+    mode (GaussianSplattingPass.cpp:63-66, gaussianSplattingPS.glsl:34-35:
+    each fragment adds (.01, .005, 0, .01))."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_id = ti * pl.num_programs(1) + tj
+    start = starts_ref[tile_id]
+    end = start + counts_ref[tile_id]
+
+    px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
+    out_ref[...] = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
+
+    num_chunks = (end - start + CHUNK - 1) // CHUNK
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
+        s = scratch[slot]
+        base = start + c * CHUNK
+        g, _, _ = _splat_eval_chunk(s, px, py, _live_mask(base, end))
+        out_ref[0] += jnp.sum((g > 0.0).astype(jnp.float32), axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+def overdraw_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
+                   interpret):
+    """(1, ty*TILE_H, tx*TILE_W) per-pixel covering-gaussian COUNT (scale by
+    the overdraw constant downstream). Forward-only debug visualization."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ty, tx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, B.PAIR_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _additive_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (1, ty * TILE_H, tx * TILE_W), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_starts, tile_counts, height_arr, pair_data)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def composite_tiles(pair_data, tile_starts, tile_counts, height_arr, ty, tx,
                     interpret, albedo_only=False):

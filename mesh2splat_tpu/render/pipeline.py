@@ -40,6 +40,8 @@ class FrameConfig:
     shadows: bool = False
     shadow_size: int = 256             # reference uses 1024 (GaussianShadowPass.cpp:14)
     has_pbr: bool = True
+    pair_capacity: int = 0             # (tile, splat) pair budget (0 = 8N heuristic;
+    row_capacity: int = 0              # see render.binning.calibrate_pairs)
 
     @property
     def std_dev(self) -> float:
@@ -63,9 +65,11 @@ def render_gbuffer(
         has_pbr=config.has_pbr,
         depth_map=depth_map,
     )
-    if config.use_tiled and int(config.render_mode) != int(RenderMode.OVERDRAW):
+    if config.use_tiled:
         return rasterize_tiled(
-            proj, config.width, config.height, render_mode=config.render_mode
+            proj, config.width, config.height, render_mode=config.render_mode,
+            pair_capacity=config.pair_capacity,
+            row_capacity=config.row_capacity,
         )
     return rasterize_dense(
         proj, config.width, config.height, render_mode=config.render_mode
@@ -100,6 +104,26 @@ def _frame_core(splats, camera, light, mesh, material, cubemap,
     return deferred_resolve(
         gbuffer, cam_pos, light,
         render_mode=config.render_mode, shadow_factor=shadow,
+    )
+
+
+def calibrate_frame(
+    splats: Splats, camera: Camera, config: FrameConfig
+) -> FrameConfig:
+    """Size the rasterizer's pair/tile-column budgets to this scene+view
+    (pow2-rounded so similar frames share a compile). One host readback;
+    identical image to any larger budgets."""
+    from .binning import calibrate_pairs
+
+    proj = project_splats(
+        splats, camera, std_dev=config.std_dev,
+        render_mode=config.render_mode, splat_format=config.splat_format,
+        has_pbr=config.has_pbr,
+    )
+    p, r = calibrate_pairs(proj, config.width, config.height)
+    up = lambda v: 1 << max(int(v) - 1, 1).bit_length()
+    return dataclasses.replace(
+        config, pair_capacity=up(p), row_capacity=up(r)
     )
 
 

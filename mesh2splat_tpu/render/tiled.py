@@ -57,15 +57,31 @@ def rasterize_tiled(
     if not pair_capacity:
         pair_capacity = default_pair_capacity(proj.capacity)
 
-    if int(render_mode) == int(RenderMode.OVERDRAW):
-        # additive overdraw visualization is cheap and rare: count coverage
-        # via the dense path semantics using binned g>0 masks would need a
-        # separate kernel; reuse the dense implementation instead.
-        from .rasterize import rasterize_dense
-
-        return rasterize_dense(proj, width, height, render_mode=render_mode)
-
     ty, tx = B.tiles_for(width, height)
+
+    if int(render_mode) == int(RenderMode.OVERDRAW):
+        # additive blend of the constant overdraw fragment — order
+        # independent, so a dedicated count kernel (no sorted traversal)
+        binned = B.bin_splats(
+            proj, width, height, pair_capacity, row_capacity=row_capacity
+        )
+        cnt = C.overdraw_tiles(
+            binned.pair_data, binned.tile_starts, binned.tile_counts,
+            jnp.asarray([height], jnp.int32), ty, tx, interpret,
+        )[0, :height, :width]
+        albedo = cnt[..., None] * jnp.asarray(
+            [0.01, 0.005, 0.0, 0.01], jnp.float32
+        )
+        zeros = jnp.zeros((height, width, 4), jnp.float32)
+        return {
+            "albedo": albedo,
+            "position": zeros,
+            "normal": zeros,
+            "depth": zeros,
+            "metal_rough": zeros,
+            "transmittance": jnp.ones((height, width), jnp.float32),
+        }
+
     binned = B.bin_splats(
         proj, width, height, pair_capacity, row_capacity=row_capacity
     )

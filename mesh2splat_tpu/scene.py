@@ -113,6 +113,9 @@ class Scene:
             resolution_target=res_target, shadows=shadows,
             has_pbr=self.has_pbr,
         )
+        from .render.pipeline import calibrate_frame
+
+        fc = calibrate_frame(splats, cam, fc)
         return render_frame(splats, cam, fc, light=light)
 
     # ---------------------------------------------------------------- export

@@ -176,3 +176,20 @@ def test_albedo_only_matches_full():
     g_fast = jax.grad(lambda c: loss(c, True))(sp.color)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_full),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_overdraw_tiled_matches_dense():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.render.rasterize import rasterize_dense
+    from mesh2splat_tpu.render.tiled import rasterize_tiled
+    from mesh2splat_tpu.types import RenderMode
+
+    proj = project(random_splats(300, seed=123))
+    dense = rasterize_dense(proj, W, H, render_mode=RenderMode.OVERDRAW)
+    tiled = rasterize_tiled(proj, W, H, render_mode=RenderMode.OVERDRAW,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(tiled["albedo"]), np.asarray(dense["albedo"]), atol=1e-5
+    )
