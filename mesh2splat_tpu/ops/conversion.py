@@ -34,13 +34,21 @@ import jax.numpy as jnp
 
 from ..types import Material, Splats, TriangleMesh
 from . import segments
-from .sampling import build_tap_atlas, sample_bilinear_atlas
+from .sampling import (
+    build_block_atlas,
+    build_tap_atlas,
+    sample_bilinear_atlas,
+    sample_bilinear_block_atlas,
+)
 from .triplanar import triangle_conversion_attrs
 
 
 def _sample(tex, uv):
     """Bilinear sample via a tap atlas: one gather per texture instead of
-    four (see sampling.build_tap_atlas)."""
+    four (see sampling.build_tap_atlas). (A 4x4-blocked atlas with one-hot
+    window selection was tried to reach the small-table gather tier and
+    measured ~2x SLOWER end-to-end — the window contraction does not stay
+    register-resident; see sampling.build_block_atlas.)"""
     h, w, c = tex.shape
     return sample_bilinear_atlas(build_tap_atlas(tex), h, w, c, uv)
 

@@ -75,3 +75,20 @@ def test_splats_compact():
     assert int(c.count()) == 4
     np.testing.assert_array_equal(np.asarray(c.valid)[:4], True)
     np.testing.assert_array_equal(np.asarray(c.pos)[:4], np.asarray(pos)[[1, 3, 4, 7]])
+
+
+def test_block_atlas_sampling_exact():
+    """Blocked tap atlas sampling (alternative gather layout) is bit-exact
+    vs direct bilinear sampling."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.ops.sampling import (
+        build_block_atlas, sample_bilinear, sample_bilinear_block_atlas)
+
+    rng = np.random.default_rng(0)
+    tex = jnp.asarray(rng.uniform(0, 1, (32, 32, 4)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (2000, 2)).astype(np.float32))
+    ref = sample_bilinear(tex, uv)
+    out = sample_bilinear_block_atlas(build_block_atlas(tex), 32, 32, 4, uv)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
