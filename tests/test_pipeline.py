@@ -118,3 +118,26 @@ def test_gradient_flows_mesh_to_pixels():
     g = jax.grad(loss)(jnp.ones(4))
     assert np.isfinite(np.asarray(g)).all()
     assert float(g[0]) > 0  # brighter red factor -> brighter red channel
+
+
+def test_fly_camera_controller():
+    """FlyCamera reproduces IoHandler/Camera semantics: movement along the
+    look basis, pitch clamp, fov clamp, and renders through make_camera."""
+    import numpy as np
+
+    from mesh2splat_tpu.utils.camera_controller import FlyCamera
+
+    cam = FlyCamera.create([0, 0, 3])
+    front0, right0, up0 = cam.basis()
+    np.testing.assert_allclose(front0, [0, 0, -1], atol=1e-6)  # yaw -90
+    cam.move(dt=1.0, forward=1.0)
+    np.testing.assert_allclose(cam.position, [0, 0, 0.5], atol=1e-6)
+    cam.look(dx_px=900, dy_px=0)  # +90 deg yaw
+    f, _, _ = cam.basis()
+    np.testing.assert_allclose(f, [1, 0, 0], atol=1e-6)
+    cam.look(0, 10000)
+    assert cam.pitch_deg == -89.0  # clamp (Camera.cpp:58-62)
+    cam.zoom(1000)
+    assert cam.fov_deg == 1.0      # clamp (Camera.cpp:65-74)
+    c = cam.camera(64, 48)
+    assert c.width == 64 and c.height == 48
