@@ -74,6 +74,8 @@ def render_rgb(
     std_dev: float = 1.0,
     splat_format: SplatFormat = SplatFormat.PLY_3DGS,
     use_tiled: bool = False,
+    pair_capacity: int = 0,
+    row_capacity: int = 0,
 ):
     """Differentiable RGB render (premultiplied albedo over black)."""
     proj = project_splats(
@@ -81,20 +83,24 @@ def render_rgb(
         splat_format=splat_format,
     )
     if use_tiled:
-        out = rasterize_tiled(proj, width, height, albedo_only=True)
+        out = rasterize_tiled(
+            proj, width, height, albedo_only=True,
+            pair_capacity=pair_capacity, row_capacity=row_capacity,
+        )
     else:
         out = rasterize_dense(proj, width, height)
     return out["albedo"][..., :3]
 
 
 def l2_loss(params: SplatParams, valid, cameras: Camera, targets, width, height,
-            std_dev=1.0, use_tiled=False):
+            std_dev=1.0, use_tiled=False, pair_capacity=0, row_capacity=0):
     """Mean L2 over a *batch* of cameras (leading dim) and target images."""
     splats = params.to_splats(valid)
 
     def one(cam_tree, target):
         img = render_rgb(splats, cam_tree, width, height, std_dev,
-                         use_tiled=use_tiled)
+                         use_tiled=use_tiled, pair_capacity=pair_capacity,
+                         row_capacity=row_capacity)
         return jnp.mean((img - target) ** 2)
 
     losses = jax.vmap(one)(cameras, targets)
@@ -126,10 +132,29 @@ def fit_splats(
     tx = optax.adam(config.lr)
     opt_state = tx.init(params)
 
+    pair_cap = row_cap = 0
+    if config.use_tiled:
+        # size the pair budget to the worst view once (pow2-rounded)
+        from ..render.binning import calibrate_pairs
+
+        n_views = targets.shape[0]
+        need_p = need_r = 1
+        for i in range(n_views):
+            cam_i = jax.tree.map(lambda a: a[i], cameras)
+            proj = project_splats(
+                splats, cam_i, std_dev=config.std_dev,
+                render_mode=RenderMode.ALBEDO,
+            )
+            p_i, r_i = calibrate_pairs(proj, config.width, config.height)
+            need_p, need_r = max(need_p, p_i), max(need_r, r_i)
+        up = lambda v: 1 << max(int(v) - 1, 1).bit_length()
+        pair_cap, row_cap = up(need_p), up(need_r)
+
     step = jax.jit(
         train_step_fn(
             tx, config.width, config.height, std_dev=config.std_dev,
             use_tiled=config.use_tiled, mesh=devices_mesh,
+            pair_capacity=pair_cap, row_capacity=row_cap,
         )
     )
 
@@ -140,12 +165,14 @@ def fit_splats(
     return params.to_splats(valid), history
 
 
-def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=False, mesh=None):
+def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=False, mesh=None,
+                  pair_capacity=0, row_capacity=0):
     """Returns a jittable (params, opt_state, valid, cameras, targets) ->
     (params, opt_state, loss) step — the building block the multichip dryrun
     compiles over an N-device mesh."""
     loss_fn = partial(l2_loss, width=width, height=height, std_dev=std_dev,
-                      use_tiled=use_tiled)
+                      use_tiled=use_tiled, pair_capacity=pair_capacity,
+                      row_capacity=row_capacity)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
