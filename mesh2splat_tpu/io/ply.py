@@ -202,14 +202,15 @@ _PLY_DTYPES = {
 }
 
 
-def _parse_ply_header(f) -> tuple[int, list[tuple[str, str]], int]:
-    """Returns (num_vertices, [(name, np_dtype)], data_offset)."""
+def _parse_ply_header(f) -> tuple[int, list[tuple[str, str]], int, bool]:
+    """Returns (num_vertices, [(name, np_dtype)], data_offset, is_ascii)."""
     magic = f.readline().strip()
     if magic != b"ply":
         raise ValueError("not a PLY file")
     num = None
     props: list[tuple[str, str]] = []
     in_vertex = False
+    is_ascii = False
     while True:
         line = f.readline()
         if not line:
@@ -218,7 +219,11 @@ def _parse_ply_header(f) -> tuple[int, list[tuple[str, str]], int]:
         if not parts:
             continue
         if parts[0] == "format":
-            if parts[1] != "binary_little_endian":
+            # the reference reads via happly, which accepts ascii and binary
+            # little-endian alike (parsers.cpp:519 happly::PLYData)
+            if parts[1] == "ascii":
+                is_ascii = True
+            elif parts[1] != "binary_little_endian":
                 raise ValueError(f"unsupported PLY format {parts[1]}")
         elif parts[0] == "element":
             in_vertex = parts[1] == "vertex"
@@ -228,25 +233,84 @@ def _parse_ply_header(f) -> tuple[int, list[tuple[str, str]], int]:
             props.append((parts[2], _PLY_DTYPES[parts[1]]))
         elif parts[0] == "end_header":
             break
-    return num, props, f.tell()
+    return num, props, f.tell(), is_ascii
 
 
-def read_ply(path) -> tuple[dict, bool]:
+def _finite_filter(arrs: dict) -> dict:
+    """Drop splats with any non-finite field or an all-zero record —
+    utils::shouldSkip parity (reference: utils.cpp:386-402)."""
+    finite = np.ones(arrs["pos"].shape[0], bool)
+    nonzero = np.zeros(arrs["pos"].shape[0], bool)
+    for a in arrs.values():
+        finite &= np.isfinite(a).all(axis=-1)
+        nonzero |= (a != 0.0).any(axis=-1)
+    keep = finite & nonzero
+    if keep.all():
+        return arrs
+    return {k: v[keep] for k, v in arrs.items()}
+
+
+def read_ply(path, filter_invalid: bool = True) -> tuple[dict, bool]:
     """Read any of the three formats (plus generic 3DGS PLYs) into the
     canonical splat dict, mirroring loadPlyFile (reference: parsers.cpp:516-629):
       opacity -> sigmoid, scale -> exp, rot -> normalized, stored (w,x,y,z),
-      color <- SH0.  Returns (arrays, has_pbr)."""
+      color <- SH0.  Returns (arrays, has_pbr). ``filter_invalid`` applies the
+    utils::shouldSkip NaN/Inf/all-zero filter (reference: utils.cpp:386-402)."""
     with open(path, "rb") as f:
-        num, props, off = _parse_ply_header(f)
+        num, props, off, is_ascii = _parse_ply_header(f)
         dt = np.dtype([(name, d) for name, d in props])
-        raw = np.fromfile(f, dtype=dt, count=num)
-        if raw.shape[0] != num:
-            raise ValueError(
-                f"truncated PLY: header promises {num} vertices, "
-                f"file contains {raw.shape[0]}"
-            )
+        if is_ascii:
+            body = np.loadtxt(f, dtype=np.float64, max_rows=num, ndmin=2)
+            if body.shape != (num, len(props)):
+                raise ValueError(
+                    f"truncated ASCII PLY: header promises {num}x{len(props)},"
+                    f" file contains {body.shape}"
+                )
+            raw = np.empty(num, dtype=dt)
+            for i, (name, d) in enumerate(props):
+                raw[name] = body[:, i].astype(d)
+        else:
+            raw = np.fromfile(f, dtype=dt, count=num)
+            if raw.shape[0] != num:
+                raise ValueError(
+                    f"truncated PLY: header promises {num} vertices, "
+                    f"file contains {raw.shape[0]}"
+                )
 
     names = {name for name, _ in props}
+
+    # float-only binary layouts (formats 0/1 and generic 3DGS) decode through
+    # the native codec when it is available
+    if (
+        not is_ascii
+        and "red" not in names
+        and {"x", "f_dc_0", "opacity", "scale_0", "rot_0"} <= names
+        and all(d == "<f4" for _, d in props)
+    ):
+        from . import native
+
+        col = {name: i for i, (name, _) in enumerate(props)}
+        have_n = {"nx", "ny", "nz"} <= names
+        have_pbr = {"metallicFactor", "roughnessFactor"} <= names
+        dec = native.decode_float_body(
+            num,
+            len(props),
+            {
+                "xyz": col["x"],
+                "normal": col["nx"] if have_n else -1,
+                "fdc": col["f_dc_0"],
+                "opacity": col["opacity"],
+                "scale": col["scale_0"],
+                "rot": col["rot_0"],
+                "metal": col["metallicFactor"] if have_pbr else -1,
+                "rough": col["roughnessFactor"] if have_pbr else -1,
+            },
+            raw.view("<f4").reshape(num, len(props)),
+        )
+        if dec is not None:
+            if filter_invalid:
+                dec = _finite_filter(dec)
+            return dec, have_n and have_pbr
 
     def get(name, default=None):
         if name in names:
@@ -290,17 +354,17 @@ def read_ply(path) -> tuple[dict, bool]:
     quat = np.stack([get("rot_0"), get("rot_1"), get("rot_2"), get("rot_3")], axis=-1)
     quat /= np.linalg.norm(quat, axis=-1, keepdims=True) + 1e-12
 
-    return (
-        {
-            "pos": pos.astype(np.float32),
-            "color": color.astype(np.float32),
-            "scale": scale.astype(np.float32),
-            "normal": normal.astype(np.float32),
-            "quat": quat.astype(np.float32),
-            "pbr": pbr.astype(np.float32),
-        },
-        has_pbr,
-    )
+    arrs = {
+        "pos": pos.astype(np.float32),
+        "color": color.astype(np.float32),
+        "scale": scale.astype(np.float32),
+        "normal": normal.astype(np.float32),
+        "quat": quat.astype(np.float32),
+        "pbr": pbr.astype(np.float32),
+    }
+    if filter_invalid:
+        arrs = _finite_filter(arrs)
+    return arrs, has_pbr
 
 
 def arrays_to_splats(arrs: dict, capacity: int | None = None):

@@ -79,9 +79,6 @@ def project_splats(
     P = camera.view_to_clip
     Wv = camera.world_to_view
 
-    if model_to_world is None:
-        model_to_world = jnp.eye(4, dtype=jnp.float32)
-
     # ---- all per-splat math in flat 1-D columns ---------------------------
     # (N,3,3) rotation/covariance intermediates tile to (8,128) lanes on TPU
     # (up to 42x padded traffic when materialized), so everything below is

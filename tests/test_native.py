@@ -78,7 +78,7 @@ def test_native_decode_matches_python(lib_ok, tmp_path):
     p = tmp_path / "d.ply"
     ply.write_ply(p, arrs, fmt=1, scale_multiplier=1.0)
     with open(p, "rb") as f:
-        num, props, off = ply._parse_ply_header(f)
+        num, props, off, is_ascii = ply._parse_ply_header(f)
         body = np.fromfile(f, dtype="<f4").reshape(num, len(props))
     names = [n for n, _ in props]
     offsets = {
