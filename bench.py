@@ -119,7 +119,7 @@ def main():
         from mesh2splat_tpu.render.tiled import rasterize_tiled
         from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
 
-        from mesh2splat_tpu.render.binning import calibrate_pairs
+        from mesh2splat_tpu.render.binning import calibrate_overflow
 
         wpx, hpx = 1920, 1080
         cam = make_camera(
@@ -134,15 +134,15 @@ def main():
                 splat_format=SplatFormat.MESH2SPLAT,
             )
 
-        # size the (tile, splat) pair budget to the scene once (identical
+        # size the class-C overflow budget to the scene once (identical
         # output to any larger budget; cost is ~linear in the budget)
-        pair_cap, row_cap = calibrate_pairs(jax.jit(project)(sp), wpx, hpx)
-        print(f"calibrated pair budget={pair_cap} rows={row_cap}", file=sys.stderr)
+        pair_cap = calibrate_overflow(jax.jit(project)(sp), wpx, hpx)
+        print(f"calibrated overflow budget={pair_cap}", file=sys.stderr)
 
         def fwd(splats):
             return rasterize_tiled(
                 project(splats), wpx, hpx, pair_capacity=pair_cap,
-                row_capacity=row_cap, albedo_only=True,
+                albedo_only=True,
             )["albedo"]
 
         fwd_j = jax.jit(fwd)

@@ -48,6 +48,41 @@ class ProjectedSplats:
         return self.mean_ndc.shape[0]
 
 
+def axes_from_conic(ca, cb, cc):
+    """3-sigma-clamped eigen half-axes of the 2D covariance, recovered from
+    its inverse (the conic) — the same closed-form eigendecomposition as the
+    reference prepass (G4:175-189), expressed on the conic so the compositing
+    kernel can recompute axes from the 3 carried conic floats instead of
+    carrying 4 axis floats per pair.
+
+    project_splats routes its axes_px through this helper too, so the dense
+    reference rasterizer, the tile binner and the Pallas kernel all see
+    bit-identical axes. Degenerate conics (zeroed by the det_ok guard, or
+    non-elliptic) yield zero axes => zero coverage.
+
+    Inputs are broadcastable f32 columns; returns (mjx, mjy, mnx, mny)."""
+    det_c = ca * cc - cb * cb
+    ok = det_c > 1e-30
+    dsafe = jnp.where(ok, det_c, 1.0)
+    a = cc / dsafe
+    b = -cb / dsafe
+    c = ca / dsafe
+    mid = a + c
+    delta = jnp.sqrt((a - c) ** 2 + (2.0 * b) ** 2)
+    lam1 = 0.5 * (mid + delta)
+    lam2 = 0.5 * (mid - delta)
+    dv_den = b - c + lam1
+    dv_den = jnp.where(jnp.abs(dv_den) < 1e-12, 1e-12, dv_den)
+    dvy = (-a + b + lam1) / dv_den
+    rinv = jax.lax.rsqrt(1.0 + dvy * dvy + 1e-24)
+    dvx, dvy = rinv, dvy * rinv
+    len1 = jnp.minimum(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)), 1024.0)
+    len2 = jnp.minimum(3.0 * jnp.sqrt(jnp.maximum(lam2, 0.0)), 1024.0)
+    len1 = jnp.where(ok, len1, 0.0)
+    len2 = jnp.where(ok, len2, 0.0)
+    return len1 * dvx, len1 * dvy, len2 * dvy, -len2 * dvx
+
+
 def _hash_random2d(co):
     """common.glsl:13-20 random2d, for GEOMETRY debug coloring."""
     dt = co[..., 0] * 12.9898 + co[..., 1] * 78.233
@@ -211,23 +246,11 @@ def project_splats(
     cv2 = c02 * v0 + c12 * v1 + c22 * v2
     c = v0 * cv0 + v1 * cv1 + v2 * cv2 + 0.3
 
-    # closed-form eigen axes (G4:175-189)
+    # eigenvalue positivity check (G4:175-189)
     mid = a + c
     delta = jnp.sqrt((a - c) ** 2 + (2.0 * b) ** 2)
-    lam1 = 0.5 * (mid + delta)
     lam2 = 0.5 * (mid - delta)
     valid = jnp.logical_and(valid, lam2 >= 0.0)
-
-    dv_den = b - c + lam1
-    dv_den = jnp.where(jnp.abs(dv_den) < 1e-12, 1e-12, dv_den)
-    dvy = (-a + b + lam1) / dv_den
-    rinv = jax.lax.rsqrt(1.0 + dvy * dvy + 1e-24)
-    dvx, dvy = rinv, dvy * rinv
-    len1 = jnp.minimum(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)), 1024.0)
-    len2 = jnp.minimum(3.0 * jnp.sqrt(jnp.maximum(lam2, 0.0)), 1024.0)
-    axes_px = jnp.stack(
-        [len1 * dvx, len1 * dvy, len2 * dvy, -len2 * dvx], axis=-1
-    ).reshape(-1, 2, 2)  # (N, 2, 2): [major, minor]
 
     # conic = inverse(cov2d) (G4:197; common.glsl:62-78)
     det = a * c - b * b
@@ -242,6 +265,16 @@ def project_splats(
         ],
         axis=-1,
     )
+
+    # closed-form eigen axes, recomputed from the conic so every consumer
+    # (dense rasterizer / binner / Pallas kernel) shares one formula.
+    # Deviation from round 1: splats whose 2D covariance is numerically
+    # singular (det_ok False) now get ZERO axes (invisible) instead of
+    # unclamped garbage axes with a unit falloff.
+    mjx, mjy, mnx, mny = axes_from_conic(
+        conic[:, 0], conic[:, 1], conic[:, 2]
+    )
+    axes_px = jnp.stack([mjx, mjy, mnx, mny], axis=-1).reshape(-1, 2, 2)
 
     w_safe = jnp.where(jnp.abs(cw) < 1e-12, 1e-12, cw)
     mean_ndc = jnp.stack([cx / w_safe, cy / w_safe], axis=-1)

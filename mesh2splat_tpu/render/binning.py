@@ -1,23 +1,47 @@
-"""Sort-based tile binning: the TPU-native replacement for the reference's
+"""Sort-carry tile binning: the TPU-native replacement for the reference's
 global GPU radix sort + gather (reference:
 src/renderer/renderPasses/RadixSortPass.cpp, thirdParty/RadixSort.hpp,
 radixSortPrepass.glsl, radixSortGather.glsl).
 
 The reference sorts ALL splats by view depth once and lets ROP hardware blend
 quads in that order. A TPU has no ROP, so compositing is explicit per pixel
-tile; the global sort becomes:
+tile; the global sort becomes per-tile depth-ordered pair lists.
 
-  depth ranks (one global sort)  ->  (tile, rank) pair expansion (slot
-  allocation, ops/segments.py)   ->  one lexicographic sort of the pairs ->
-  per-tile contiguous ranges.
+Design (round 2 — rebuilt from measured TPU primitive costs; see
+scripts/ubench*.py):
 
-Within each tile range the pairs are depth-ordered, which is exactly the
-invariant the reference's ``floatBitsToUint(viewZ)`` radix key establishes
-(radixSortPrepass.glsl:29-32).
+  * ``lax.sort`` costs ~7 ms per 3.5M int32 keys and only ~2.6 ms per extra
+    carried operand, while row gathers cost ~9 ns/row + ~0.9 ns/float and
+    scatters ~5-9 ns/element. The round-1 pipeline (expand -> gather tables ->
+    sort indices -> scatter relayout -> gather 24-float records) paid five
+    P-scale random-access passes (~236 ms at 3.5M pairs); this design pays
+    approximately ONE sort that carries the field values themselves.
 
-Tiles are (8, 128) pixels — one native f32 VPU tile — rather than the CUDA-
-conventional 16x16: the lane dimension stays fully utilized in the composite
-kernel and elongated tiles cost fewer pairs for typical splat radii.
+  * (tile, splat) pair expansion is a FIXED-SLOT broadcast: each splat owns
+    K_SLOTS candidate rows covering the first K_SLOTS tiles of its span
+    rectangle in row-major order (slot j -> tile (ty0 + j // sx,
+    tx0 + j % sx)). Broadcast + reshape runs at HBM bandwidth — no segment
+    machinery, no gathers. Splats spanning more than K_SLOTS tiles go through
+    the exact budgeted expansion (class C) at a calibrated small capacity.
+
+  * ONE ``lax.sort`` over all candidate rows, key = tile * 2^21 + depth_rank
+    (uint32; falls back to a (tile, rank) 2-key sort when the bits don't
+    fit), CARRYING every per-pair field column plus a pre-sort row id. Dead
+    slots get a sentinel key and sort past the live pairs.
+
+  * Per-tile ranges come from ONE searchsorted over the sorted keys. Ranges
+    are contiguous (no padding): the compositing kernel rounds its DMA window
+    down to CHUNK alignment and masks, and the backward kernel read-modify-
+    writes shared boundary windows — safe because a TPU Pallas grid executes
+    sequentially on the core.
+
+  * Differentiability: the only non-jax-differentiable step is the sort; it
+    is wrapped in a custom VJP whose backward UN-sorts the incoming field
+    cotangents by the carried row id (one more cheap sort). Everything
+    around it (broadcasts, the class-C record gather) autodiffs natively.
+
+Tiles are (8, 128) pixels — one native f32 VPU tile; the lane dimension
+stays fully utilized in the composite kernel.
 """
 
 from __future__ import annotations
@@ -27,250 +51,326 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import segments
 from ..ops.projection import ProjectedSplats
 
 TILE_H = 8
 TILE_W = 128
+# Fixed broadcast slots per splat. With (8,128) tiles the bench-scene span
+# histogram is sy in {1,2,3} for 99.9% of splats and sx == 1 for 93%, so 3
+# column slots cover ~93% of splats exactly; the rest go through class C.
+K_SLOTS = 3
+RANK_BITS = 21
 
-# pair feature-row layout, shape (NUM_FIELDS, P); padded to a sublane multiple
-F_MEAN_X, F_MEAN_Y = 0, 1
-F_CONIC_A, F_CONIC_B, F_CONIC_C = 2, 3, 4
-F_COL_R, F_COL_G, F_COL_B, F_ALPHA = 5, 6, 7, 8
-F_NRM_X, F_NRM_Y, F_NRM_Z = 9, 10, 11
-F_WS_X, F_WS_Y, F_WS_Z = 12, 13, 14
-F_DEPTH = 15
-F_METAL, F_ROUGH = 16, 17
-F_AX_MAJ_X, F_AX_MAJ_Y, F_AX_MIN_X, F_AX_MIN_Y = 18, 19, 20, 21
-F_VALID = 22
-NUM_FIELDS = 24   # logical fields
-# Physical pair-record width. HBM lane-tiles arrays to 128 floats anyway, so a
-# (P, 128) buffer costs no more memory than (P, 24) — and it makes every
-# (CHUNK, PAIR_WIDTH) DMA slice tiling-aligned (Mosaic requires lane slices in
-# multiples of 128).
-PAIR_WIDTH = 128
+CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
+
+# ---------------------------------------------------------------------------
+# field registry: names -> row index in the (F_pad, P) pair-field buffer
+# ---------------------------------------------------------------------------
+
+FIELDS_ALBEDO = (
+    "mean_x", "mean_y", "conic_a", "conic_b", "conic_c",
+    "col_r", "col_g", "col_b", "alpha",
+)
+FIELDS_FULL = FIELDS_ALBEDO + (
+    "nrm_x", "nrm_y", "nrm_z", "ws_x", "ws_y", "ws_z",
+    "depth", "metal", "rough",
+)
+FIELDS_DEPTH = ("mean_x", "mean_y", "conic_a", "conic_b", "conic_c", "depth")
+FIELDS_OVERDRAW = ("mean_x", "mean_y", "conic_a", "conic_b", "conic_c")
+
+VARIANT_FIELDS = {
+    "albedo": FIELDS_ALBEDO,
+    "full": FIELDS_FULL,
+    "depth": FIELDS_DEPTH,
+    "overdraw": FIELDS_OVERDRAW,
+}
 
 
-CHUNK = 128  # compositing kernel DMA granularity; tile ranges are aligned
-# to CHUNK so each tile's backward gradient writes are disjoint.
+def field_index(variant: str) -> dict:
+    return {name: i for i, name in enumerate(VARIANT_FIELDS[variant])}
+
+
+def padded_rows(variant: str) -> int:
+    """Sublane-multiple row count of the (F_pad, P) buffer (clean in-kernel
+    transposes)."""
+    f = len(VARIANT_FIELDS[variant])
+    return -(-f // 8) * 8
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class BinnedSplats:
-    """Per-tile depth-ordered splat pair lists in a CHUNK-aligned layout:
-    tile k owns padded slots [tile_starts[k], tile_starts[k+1]) (a multiple
-    of CHUNK wide) of which the first tile_counts[k] are live pairs."""
+class BinnedPairs:
+    """Per-tile depth-ordered pair field lists: tile t owns rows
+    [tile_starts[t], tile_starts[t+1]) of ``fields`` (contiguous, unpadded)."""
 
-    pair_data: jax.Array    # (P, PAIR_WIDTH) f32, sorted by (tile, depth rank)
-    pair_splat: jax.Array   # (P,) int32 source splat index (-1 = dead slot)
-    tile_starts: jax.Array  # (num_tiles + 1,) int32, CHUNK-aligned
-    tile_counts: jax.Array  # (num_tiles,) int32 live pairs per tile
-    num_pairs: jax.Array    # scalar int32 (live pairs before padding)
+    fields: jax.Array       # (F_pad, P_cap) f32, sorted by (tile, depth rank)
+    tile_starts: jax.Array  # (num_tiles + 1,) int32
+    num_pairs: jax.Array    # scalar int32 (live pairs)
 
     @property
     def capacity(self):
-        return self.pair_data.shape[0]
+        return self.fields.shape[1]
+
+    @property
+    def tile_counts(self):
+        return self.tile_starts[1:] - self.tile_starts[:-1]
 
 
 def tiles_for(width: int, height: int) -> tuple[int, int]:
     return -(-height // TILE_H), -(-width // TILE_W)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def required_pairs(proj: ProjectedSplats, width: int, height: int) -> jax.Array:
-    """Exact (tile, splat) pair requirement for this projection — O(N).
-    Rasterization cost is ~linear in pair capacity (sort + expansion +
-    compositing chunks), so sizing the budget to the scene is a direct
-    speedup; see ops/conversion.calibrate for the same pattern."""
-    n = proj.capacity
+# ---------------------------------------------------------------------------
+# sort with carried values + custom unsort VJP
+# ---------------------------------------------------------------------------
+
+
+def _f0(like):
+    return np.zeros(like.shape, dtype=jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sort_carry(num_keys, *ops):
+    """ops = num_keys int key arrays, then rowid (int32), then f32 values.
+    Returns the fully sorted tuple. Differentiable w.r.t. the value operands:
+    the backward pass re-sorts the cotangents by the carried row id (the
+    permutation inverse), which is far cheaper than a P-scale gather."""
+    return tuple(jax.lax.sort(ops, num_keys=num_keys))
+
+
+def _sort_carry_fwd(num_keys, *ops):
+    out = tuple(jax.lax.sort(ops, num_keys=num_keys))
+    return out, out[num_keys]  # rowid_sorted
+
+
+def _sort_carry_bwd(num_keys, rowid_sorted, cts):
+    dvals = cts[num_keys + 1:]
+    unsorted = jax.lax.sort((rowid_sorted, *dvals), num_keys=1)[1:]
+    ints = (rowid_sorted,) * (num_keys + 1)
+    return tuple(_f0(i) for i in ints) + tuple(unsorted)
+
+
+_sort_carry.defvjp(_sort_carry_fwd, _sort_carry_bwd)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+
+def _tile_geom(proj: ProjectedSplats, width: int, height: int):
+    """Elementwise per-splat tile bbox + validity (no expansion)."""
     ty, tx = tiles_for(width, height)
     res_half = jnp.asarray([width, height], jnp.float32) * 0.5
-    mean_px = (proj.mean_ndc + 1.0) * res_half
-    ext = jnp.abs(proj.axes_px[:, 0]) + jnp.abs(proj.axes_px[:, 1])
+    mean_px = (proj.mean_ndc + 1.0) * res_half  # GL window coords, y up
+    # parallelogram extent per axis: |maj| + |min| componentwise (+ a hair of
+    # slack so the in-kernel axes recomputation can never exceed the bbox)
+    ext = jnp.abs(proj.axes_px[:, 0]) + jnp.abs(proj.axes_px[:, 1]) + 1e-3
+
     x_lo = mean_px[:, 0] - ext[:, 0]
     x_hi = mean_px[:, 0] + ext[:, 0]
-    row_c = jnp.asarray(height, jnp.float32) - mean_px[:, 1]
+    row_c = jnp.asarray(height, jnp.float32) - mean_px[:, 1]  # row 0 = top
     y_lo = row_c - ext[:, 1]
     y_hi = row_c + ext[:, 1]
+
     tx0 = jnp.clip(jnp.floor(x_lo / TILE_W).astype(jnp.int32), 0, tx - 1)
     tx1 = jnp.clip(jnp.floor(x_hi / TILE_W).astype(jnp.int32), 0, tx - 1)
     ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), 0, ty - 1)
     ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), 0, ty - 1)
+
     on_screen = (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
     valid = proj.valid & on_screen
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-    pairs = jnp.sum(jnp.where(valid, span_x * span_y, 0))
-    cols = jnp.sum(jnp.where(valid, span_x, 0))
-    return jnp.stack([pairs, cols])
+    sx = tx1 - tx0 + 1
+    sy = ty1 - ty0 + 1
+    return mean_px, tx0, ty0, sx, sy, valid
 
 
-def calibrate_pairs(
-    proj: ProjectedSplats, width: int, height: int, round_to: int = 8192
-) -> tuple[int, int]:
-    """Concrete (pair, tile-column) budgets for this projection, rounded up for
-    layout friendliness. Identical output to any larger budgets."""
-    need = required_pairs(proj, width, height)
-    p, r = int(need[0]), int(need[1])
-    up = lambda v: max(-(-v // round_to) * round_to, round_to)
-    return up(p), up(r)
+def _record_columns(proj: ProjectedSplats, mean_px, variant: str):
+    cols = {
+        "mean_x": mean_px[:, 0],
+        "mean_y": jnp.asarray(0.0),  # filled by caller (row coords differ)
+        "conic_a": proj.conic[:, 0],
+        "conic_b": proj.conic[:, 1],
+        "conic_c": proj.conic[:, 2],
+        "col_r": proj.color[:, 0],
+        "col_g": proj.color[:, 1],
+        "col_b": proj.color[:, 2],
+        "alpha": proj.color[:, 3],
+        "nrm_x": proj.normal[:, 0],
+        "nrm_y": proj.normal[:, 1],
+        "nrm_z": proj.normal[:, 2],
+        "ws_x": proj.wspos[:, 0],
+        "ws_y": proj.wspos[:, 1],
+        "ws_z": proj.wspos[:, 2],
+        "depth": proj.depth,
+        "metal": proj.pbr[:, 0],
+        "rough": proj.pbr[:, 1],
+    }
+    cols["mean_y"] = mean_px[:, 1]
+    return [cols[name] for name in VARIANT_FIELDS[variant]]
 
 
-@partial(jax.jit, static_argnames=("width", "height", "pair_capacity", "max_tiles_per_splat", "row_capacity"))
-def bin_splats(
+# ---------------------------------------------------------------------------
+# the binner
+# ---------------------------------------------------------------------------
+
+
+def default_c_capacity(n_splats: int) -> int:
+    """Uncalibrated class-C budget: generous (overflowing drops pairs of
+    wide-span splats). Callers with telemetry use calibrate_overflow."""
+    return max(4 * n_splats, 1 << 13)
+
+
+def bin_pairs(
     proj: ProjectedSplats,
     width: int,
     height: int,
-    pair_capacity: int,
-    max_tiles_per_splat: int = 0,
-    row_capacity: int = 0,
-) -> BinnedSplats:
-    """Build depth-ordered per-tile pair lists from projected splats."""
+    c_capacity: int = 0,
+    variant: str = "full",
+    differentiable: bool = True,
+) -> BinnedPairs:
+    """Build depth-ordered per-tile pair field lists from projected splats."""
     n = proj.capacity
     ty, tx = tiles_for(width, height)
     num_tiles = ty * tx
-    res_half = jnp.asarray([width, height], jnp.float32) * 0.5
+    if not c_capacity:
+        c_capacity = default_c_capacity(n)
 
-    mean_px = (proj.mean_ndc + 1.0) * res_half  # GL window coords, y up
-    # parallelogram extent per axis: |maj| + |min| componentwise
-    ext = jnp.abs(proj.axes_px[:, 0]) + jnp.abs(proj.axes_px[:, 1])  # (N, 2)
-
-    # convert the y range to row coordinates (row 0 = top of the image)
-    x_lo = mean_px[:, 0] - ext[:, 0]
-    x_hi = mean_px[:, 0] + ext[:, 0]
-    row_c = jnp.asarray(height, jnp.float32) - mean_px[:, 1]
-    y_lo = row_c - ext[:, 1]
-    y_hi = row_c + ext[:, 1]
-
-    tx0 = jnp.clip(jnp.floor(x_lo / TILE_W).astype(jnp.int32), 0, tx - 1)
-    tx1 = jnp.clip(jnp.floor(x_hi / TILE_W).astype(jnp.int32), 0, tx - 1)
-    ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), 0, ty - 1)
-    ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), 0, ty - 1)
-
-    # cull splats whose extent misses the viewport entirely
-    on_screen = (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
-    valid = proj.valid & on_screen
-
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
+    mean_px, tx0, ty0, sx, sy, valid = _tile_geom(proj, width, height)
+    pairs_n = sx * sy
 
     # global depth ranks: one sort, like the reference's radix pass
+    # (radixSortPrepass.glsl:29-32 near->far invariant)
     order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-
-    # ---- two-level monotone expansion (no dynamic div/mod, native cummax
-    # fills; same playbook as ops/conversion.py stage 2-3). Splats span
-    # fewer tiles horizontally (128-px-wide tiles) than vertically, so
-    # level 1 expands the narrow x-span and level 2 the y-span — the level-1
-    # table gather runs at ~half the rows of the y-first order.
-    tcol_cap = row_capacity or pair_capacity
-    n_tcols = jnp.where(valid, span_x, 0)
-    if max_tiles_per_splat:
-        n_tcols = jnp.minimum(n_tcols, max_tiles_per_splat)
-    tcol_off, tcol_total = segments.alloc_slots(n_tcols, tcol_cap)
-    tcol_local, _, tcol_splat = segments.expand_monotone(
-        tcol_off, n_tcols, tcol_cap, value=jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
     )
-    tcol_splat = jnp.maximum(tcol_splat, 0)
-    tcol_live = jnp.arange(tcol_cap, dtype=jnp.int32) < tcol_total
 
-    # per-tile-column data: one packed int gather from a narrow table
-    coltab = jnp.stack([tx0, span_y, ty0, rank], axis=1)  # (N, 4) int32
-    ct = jax.lax.optimization_barrier(coltab[tcol_splat])  # (tcol_cap, 4)
-    c_tile_x = ct[:, 0] + tcol_local
-    c_span = jnp.where(tcol_live, ct[:, 1], 0)
-    c_ty0 = ct[:, 2]
-    c_rank = ct[:, 3]
-    if max_tiles_per_splat:
-        c_span = jnp.minimum(c_span, max_tiles_per_splat)
+    vals = _record_columns(proj, mean_px, variant)
+    nf = len(vals)
 
-    # level 2: tile-column -> (tile, splat) pair; forward-fill the column id
-    # (monotone) and recover everything else via ONE narrow gather
-    offsets, total = segments.alloc_slots(c_span, pair_capacity)
-    local, _, pair_col = segments.expand_monotone(
-        offsets, c_span, pair_capacity,
-        value=jnp.arange(tcol_cap, dtype=jnp.int32),
+    # ---- class A: fixed-slot broadcast (no expansion machinery) ----------
+    is_a = valid & (pairs_n <= K_SLOTS)
+    j = jnp.arange(K_SLOTS, dtype=jnp.int32)
+    dy_a = j[None, :] // sx[:, None]
+    dx_a = j[None, :] - dy_a * sx[:, None]
+    live_a = is_a[:, None] & (j[None, :] < pairs_n[:, None])
+    tile_a = ((ty0[:, None] + dy_a) * tx + tx0[:, None] + dx_a).reshape(-1)
+    rank_a = jnp.broadcast_to(rank[:, None], (n, K_SLOTS)).reshape(-1)
+    live_a = live_a.reshape(-1)
+
+    def bcast(col):
+        return jnp.broadcast_to(col[:, None], (n, K_SLOTS)).reshape(-1)
+
+    vals_a = [bcast(c) for c in vals]
+
+    # ---- class C: exact budgeted expansion for wide-span splats ----------
+    counts_c = jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0)
+    off_c, tot_c = segments.alloc_slots(counts_c, c_capacity)
+    local_c, _, owner_c = segments.expand_monotone(
+        off_c, counts_c, c_capacity, value=jnp.arange(n, dtype=jnp.int32)
     )
-    pair_col = jnp.maximum(pair_col, 0)
-    in_budget = jnp.arange(pair_capacity, dtype=jnp.int32) < total
+    owner_c = jnp.maximum(owner_c, 0)
+    live_c = jnp.arange(c_capacity, dtype=jnp.int32) < tot_c
+    # one narrow int gather for the per-owner tile geometry
+    packed_geom = tx0 | (ty0 << 6) | (jnp.minimum(sx, 63) << 16)
+    tab = jnp.stack([rank, packed_geom], axis=1)
+    tc = jax.lax.optimization_barrier(tab[owner_c])  # (C, 2)
+    rank_c = tc[:, 0]
+    tx0_c = tc[:, 1] & 63
+    ty0_c = (tc[:, 1] >> 6) & 1023
+    sx_c = jnp.maximum((tc[:, 1] >> 16) & 63, 1)
+    dy_c = local_c // sx_c
+    dx_c = local_c - dy_c * sx_c
+    tile_c = (ty0_c + dy_c) * tx + tx0_c + dx_c
+    # one (C, F)-row gather for the field values (differentiable: its VJP is
+    # the scatter-add back onto the class-C splats)
+    rec = jnp.stack(vals, axis=1)  # (N, F)
+    rec_c = rec[owner_c]           # (C, F)
+    vals_c = [rec_c[:, i] for i in range(nf)]
 
-    ptab = jnp.stack(
-        [c_tile_x, c_ty0, c_rank, tcol_splat], axis=1
-    )  # (tcol_cap, 4)
-    pt = jax.lax.optimization_barrier(ptab[pair_col])  # (pair_capacity, 4)
-    tile_y = pt[:, 1] + local
-    tile_id = jnp.where(in_budget, tile_y * tx + pt[:, 0], num_tiles)
-    pair_rank = jnp.where(in_budget, pt[:, 2], n)
-    owner = pt[:, 3]
+    # ---- concatenate rows, sort once with carried fields ------------------
+    tile_rows = jnp.concatenate([
+        jnp.where(live_a, tile_a, num_tiles),
+        jnp.where(live_c, tile_c, num_tiles),
+    ])
+    rank_rows = jnp.concatenate([
+        jnp.where(live_a, rank_a, 0),
+        jnp.where(live_c, rank_c, 0),
+    ])
+    rows = tile_rows.shape[0]
+    val_rows = [
+        jnp.concatenate([a, c]) for a, c in zip(vals_a, vals_c)
+    ]
+    carried = val_rows
+    if differentiable:
+        rowid = jnp.arange(rows, dtype=jnp.int32)
 
-    # one sort orders every tile's list front-to-back. Pack (tile, rank)
-    # into a single int32 key when the bits fit (common case) — a 1-key,
-    # 2-operand sort is markedly cheaper than a 2-key, 3-operand one.
-    rank_bits = max((n - 1).bit_length(), 1)
-    if (num_tiles + 1).bit_length() + rank_bits <= 31:
-        key = tile_id * (1 << rank_bits) + jnp.minimum(pair_rank, n)
-        key_sorted, splat_sorted = jax.lax.sort((key, owner), num_keys=1)
-        tile_sorted = key_sorted >> rank_bits
-    else:
-        tile_sorted, _, splat_sorted = jax.lax.sort(
-            (tile_id, pair_rank, owner), num_keys=2
+    packed_ok = (num_tiles + 1) < (1 << (32 - RANK_BITS)) and n <= (1 << RANK_BITS)
+    if packed_ok:
+        key = (
+            tile_rows.astype(jnp.uint32) * jnp.uint32(1 << RANK_BITS)
+            + rank_rows.astype(jnp.uint32)
         )
+        keys = (key,)
+    else:
+        keys = (tile_rows, rank_rows)
+    nk = len(keys)
 
-    contiguous_starts = segments.segment_starts(tile_sorted, num_tiles)
-    counts = contiguous_starts[1:] - contiguous_starts[:-1]
+    if differentiable:
+        out = _sort_carry(nk, *keys, rowid, *carried)
+        sorted_vals = out[nk + 1:]
+    else:
+        out = tuple(jax.lax.sort((*keys, *carried), num_keys=nk))
+        sorted_vals = out[nk:]
 
-    # re-lay each tile's run into a CHUNK-aligned padded slot range so the
-    # compositing kernel's per-tile DMA windows never overlap a neighbor
-    padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    padded_capacity = pair_capacity + num_tiles * CHUNK
-    padded_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
-    pair_live = tile_sorted < num_tiles
-    # Per-tile constant shift maps sorted position -> padded slot, so the
-    # re-layout is ONE tiny-table gather + ONE 1-D scatter (the previous
-    # inverse-map scheme paid two extra ~12ns/row gathers at pair scale).
-    shift = padded_offsets[:num_tiles] - contiguous_starts[:num_tiles]
-    dest = jnp.where(
-        pair_live,
-        shift[jnp.minimum(tile_sorted, num_tiles - 1)]
-        + jnp.arange(pair_capacity, dtype=jnp.int32),
-        padded_capacity,  # dead pairs dropped via out-of-range scatter
-    )
-    sp_padded = (
-        jnp.full((padded_capacity,), -1, jnp.int32)
-        .at[dest]
-        .set(splat_sorted, mode="drop")
-    )
-    live = sp_padded >= 0  # (padded_capacity,)
-    sp_idx = jnp.maximum(sp_padded, 0)
+    if packed_ok:
+        key_sorted = out[0]
+        probes = (
+            jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+            * jnp.uint32(1 << RANK_BITS)
+        )
+        tile_starts = jnp.searchsorted(key_sorted, probes, side="left").astype(
+            jnp.int32
+        )
+    else:
+        tile_starts = jnp.searchsorted(
+            out[0], jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
 
-    record = jnp.concatenate(
-        [
-            mean_px,                      # 0, 1
-            proj.conic,                   # 2, 3, 4
-            proj.color,                   # 5..8
-            proj.normal,                  # 9..11
-            proj.wspos,                   # 12..14
-            proj.depth[:, None],          # 15
-            proj.pbr,                     # 16, 17
-            proj.axes_px.reshape(n, 4),   # 18..21
-            jnp.ones((n, 1), jnp.float32),   # 22 F_VALID
-            jnp.zeros((n, 1), jnp.float32),  # 23
-        ],
-        axis=-1,
-    )  # (N, NUM_FIELDS)
-    stacked = jax.lax.optimization_barrier(record[sp_idx])
-    stacked = jnp.where(live[:, None], stacked, 0.0)
-    pair_data = jnp.pad(stacked, ((0, 0), (0, PAIR_WIDTH - NUM_FIELDS)))
-    pair_splat = jnp.where(live, sp_idx, -1)
+    f_pad = padded_rows(variant)
+    pad = [jnp.zeros((rows,), jnp.float32)] * (f_pad - nf)
+    fields = jnp.stack(list(sorted_vals) + pad)  # (F_pad, rows)
 
-    return BinnedSplats(
-        pair_data=pair_data,
-        pair_splat=pair_splat,
-        tile_starts=padded_offsets,
-        tile_counts=counts,
-        num_pairs=total,
+    return BinnedPairs(
+        fields=fields,
+        tile_starts=tile_starts,
+        num_pairs=tile_starts[num_tiles],
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def required_overflow(proj: ProjectedSplats, width: int, height: int):
+    """Exact class-C (span > K_SLOTS tiles) pair requirement — O(N)
+    elementwise. The fixed-slot class-A rows are statically sized (K_SLOTS*N),
+    so this is the only budget to calibrate."""
+    _, _, _, sx, sy, valid = _tile_geom(proj, width, height)
+    pairs_n = sx * sy
+    return jnp.sum(jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0))
+
+
+def calibrate_overflow(
+    proj: ProjectedSplats, width: int, height: int, round_to: int = 8192
+) -> int:
+    """Concrete class-C budget for this projection, rounded up for layout
+    friendliness. Identical output to any larger budget."""
+    need = int(required_overflow(proj, width, height))
+    return max(-(-need // round_to) * round_to, round_to)

@@ -40,8 +40,9 @@ class FrameConfig:
     shadows: bool = False
     shadow_size: int = 256             # reference uses 1024 (GaussianShadowPass.cpp:14)
     has_pbr: bool = True
-    pair_capacity: int = 0             # (tile, splat) pair budget (0 = 8N heuristic;
-    row_capacity: int = 0              # see render.binning.calibrate_pairs)
+    pair_capacity: int = 0             # class-C overflow pair budget
+                                       # (0 = 4N heuristic; see
+                                       # render.binning.calibrate_overflow)
 
     @property
     def std_dev(self) -> float:
@@ -69,7 +70,6 @@ def render_gbuffer(
         return rasterize_tiled(
             proj, config.width, config.height, render_mode=config.render_mode,
             pair_capacity=config.pair_capacity,
-            row_capacity=config.row_capacity,
         )
     return rasterize_dense(
         proj, config.width, config.height, render_mode=config.render_mode
@@ -110,21 +110,19 @@ def _frame_core(splats, camera, light, mesh, material, cubemap,
 def calibrate_frame(
     splats: Splats, camera: Camera, config: FrameConfig
 ) -> FrameConfig:
-    """Size the rasterizer's pair/tile-column budgets to this scene+view
+    """Size the rasterizer's class-C overflow budget to this scene+view
     (pow2-rounded so similar frames share a compile). One host readback;
-    identical image to any larger budgets."""
-    from .binning import calibrate_pairs
+    identical image to any larger budget."""
+    from .binning import required_overflow
 
     proj = project_splats(
         splats, camera, std_dev=config.std_dev,
         render_mode=config.render_mode, splat_format=config.splat_format,
         has_pbr=config.has_pbr,
     )
-    p, r = calibrate_pairs(proj, config.width, config.height)
-    up = lambda v: 1 << max(int(v) - 1, 1).bit_length()
-    return dataclasses.replace(
-        config, pair_capacity=up(p), row_capacity=up(r)
-    )
+    p = int(required_overflow(proj, config.width, config.height))
+    up = lambda v: 1 << max(int(v) - 1, 8192).bit_length()
+    return dataclasses.replace(config, pair_capacity=up(p))
 
 
 def render_frame(

@@ -59,11 +59,14 @@ def splat_chunk_contribution(
     mj = axes_px[:, 0]
     mn = axes_px[:, 1]
     det = mj[:, 0] * mn[:, 1] - mn[:, 0] * mj[:, 1]
-    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)[:, None, None]
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # reciprocal-multiply (one divide per SPLAT, not per pixel) — the Pallas
+    # kernel does the same, keeping both paths bit-identical
+    rdet = (1.0 / det_safe)[:, None, None]
     fx = -dx
     fy = -dy
-    u = (fx * mn[:, 1, None, None] - mn[:, 0, None, None] * fy) / det_safe
-    v = (mj[:, 0, None, None] * fy - fx * mj[:, 1, None, None]) / det_safe
+    u = (fx * mn[:, 1, None, None] - mn[:, 0, None, None] * fy) * rdet
+    v = (mj[:, 0, None, None] * fy - fx * mj[:, 1, None, None]) * rdet
     inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
 
     power = -(

@@ -103,7 +103,7 @@ def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
     projections, and per-face (pair, col) budget requirements. Eager op-by-
     op orchestration costs ~50ms/dispatch on a tunneled device, so the whole
     prep is a single program."""
-    from .binning import required_pairs
+    from .binning import required_overflow
 
     splat_face = dominant_face(splats.pos - light_pos)
     cams = face_cameras(light_pos, far, size)
@@ -117,7 +117,7 @@ def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
             std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
         )
         projs.append(pr)
-        needs.append(required_pairs(pr, size, size))
+        needs.append(required_overflow(pr, size, size))
     return radial, tuple(projs), jnp.stack(needs)
 
 
@@ -130,11 +130,13 @@ def _face_min_raster(proj, radial, size: int, pair_capacity: int):
     from .tiled import _is_tpu
 
     depth_proj = dataclasses.replace(proj, depth=radial)
-    binned = B.bin_splats(depth_proj, size, size, pair_capacity)
+    binned = B.bin_pairs(
+        depth_proj, size, size, pair_capacity, variant="depth",
+        differentiable=False,
+    )
     ty, tx = B.tiles_for(size, size)
     out = C.min_depth_tiles(
-        binned.pair_data, binned.tile_starts, binned.tile_counts,
-        jnp.asarray([size], jnp.int32), ty, tx, not _is_tpu(),
+        binned, jnp.asarray([size], jnp.int32), ty, tx, not _is_tpu(),
     )
     depth = out[0, :size, :size]
     return jnp.where(depth > 1e37, 1.0, depth)
@@ -171,10 +173,10 @@ def render_shadow_cubemap(
         if pair_capacity:
             face_caps = [pair_capacity] * 6
         else:
-            # per-face budgets rounded up to powers of two so similarly
-            # loaded faces share one compiled kernel (ONE host readback)
+            # per-face class-C budgets rounded up to powers of two so
+            # similarly loaded faces share one compiled kernel
             face_caps = [
-                1 << max(int(n[0]) - 1, 1).bit_length()
+                1 << max(int(n) - 1, 8192).bit_length()
                 for n in np.asarray(needs)
             ]
         faces = [

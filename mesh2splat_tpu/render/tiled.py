@@ -1,4 +1,4 @@
-"""Production tile-binned rasterizer: projection -> sort-based binning ->
+"""Production tile-binned rasterizer: projection -> sort-carry binning ->
 Pallas compositing. Drop-in replacement for rasterize_dense (same G-buffer
 dict), validated against it in tests.
 
@@ -20,12 +20,6 @@ from . import binning as B
 from . import composite as C
 
 
-def default_pair_capacity(n_splats: int, factor: int = 8) -> int:
-    """Heuristic pair budget: splats overlap a handful of (8, 128) tiles on
-    average; callers with telemetry can size precisely."""
-    return max(n_splats * factor, 1 << 14)
-
-
 def _is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -37,7 +31,7 @@ def _is_tpu() -> bool:
     jax.jit,
     static_argnames=(
         "width", "height", "pair_capacity", "interpret", "render_mode",
-        "albedo_only", "row_capacity",
+        "albedo_only",
     ),
 )
 def rasterize_tiled(
@@ -48,27 +42,28 @@ def rasterize_tiled(
     render_mode: RenderMode = RenderMode.ALBEDO,
     interpret: bool | None = None,
     albedo_only: bool = False,
-    row_capacity: int = 0,
 ):
     """Returns the same dict as rasterize_dense: albedo/position/normal/
-    depth/metal_rough (H, W, 4) + transmittance (H, W)."""
+    depth/metal_rough (H, W, 4) + transmittance (H, W).
+
+    pair_capacity: class-C (wide-span splat) pair budget — see
+    binning.calibrate_overflow; 0 uses a generous heuristic."""
     if interpret is None:
         interpret = not _is_tpu()
-    if not pair_capacity:
-        pair_capacity = default_pair_capacity(proj.capacity)
 
     ty, tx = B.tiles_for(width, height)
+    height_arr = jnp.asarray([height], jnp.int32)
 
     if int(render_mode) == int(RenderMode.OVERDRAW):
         # additive blend of the constant overdraw fragment — order
         # independent, so a dedicated count kernel (no sorted traversal)
-        binned = B.bin_splats(
-            proj, width, height, pair_capacity, row_capacity=row_capacity
+        binned = B.bin_pairs(
+            proj, width, height, pair_capacity, variant="overdraw",
+            differentiable=False,
         )
-        cnt = C.overdraw_tiles(
-            binned.pair_data, binned.tile_starts, binned.tile_counts,
-            jnp.asarray([height], jnp.int32), ty, tx, interpret,
-        )[0, :height, :width]
+        cnt = C.overdraw_tiles(binned, height_arr, ty, tx, interpret)[
+            0, :height, :width
+        ]
         albedo = cnt[..., None] * jnp.asarray(
             [0.01, 0.005, 0.0, 0.01], jnp.float32
         )
@@ -82,14 +77,13 @@ def rasterize_tiled(
             "transmittance": jnp.ones((height, width), jnp.float32),
         }
 
-    binned = B.bin_splats(
-        proj, width, height, pair_capacity, row_capacity=row_capacity
+    binned = B.bin_pairs(
+        proj, width, height, pair_capacity,
+        variant="albedo" if albedo_only else "full",
     )
-    height_arr = jnp.asarray([height], jnp.int32)
     out = C.composite_tiles(
-        binned.pair_data,
+        binned.fields,
         binned.tile_starts,
-        binned.tile_counts,
         height_arr,
         ty,
         tx,

@@ -73,9 +73,8 @@ def render_rgb(
     height: int,
     std_dev: float = 1.0,
     splat_format: SplatFormat = SplatFormat.PLY_3DGS,
-    use_tiled: bool = False,
+    use_tiled: bool = True,
     pair_capacity: int = 0,
-    row_capacity: int = 0,
 ):
     """Differentiable RGB render (premultiplied albedo over black)."""
     proj = project_splats(
@@ -85,7 +84,7 @@ def render_rgb(
     if use_tiled:
         out = rasterize_tiled(
             proj, width, height, albedo_only=True,
-            pair_capacity=pair_capacity, row_capacity=row_capacity,
+            pair_capacity=pair_capacity,
         )
     else:
         out = rasterize_dense(proj, width, height)
@@ -93,14 +92,13 @@ def render_rgb(
 
 
 def l2_loss(params: SplatParams, valid, cameras: Camera, targets, width, height,
-            std_dev=1.0, use_tiled=False, pair_capacity=0, row_capacity=0):
+            std_dev=1.0, use_tiled=True, pair_capacity=0):
     """Mean L2 over a *batch* of cameras (leading dim) and target images."""
     splats = params.to_splats(valid)
 
     def one(cam_tree, target):
         img = render_rgb(splats, cam_tree, width, height, std_dev,
-                         use_tiled=use_tiled, pair_capacity=pair_capacity,
-                         row_capacity=row_capacity)
+                         use_tiled=use_tiled, pair_capacity=pair_capacity)
         return jnp.mean((img - target) ** 2)
 
     losses = jax.vmap(one)(cameras, targets)
@@ -114,7 +112,7 @@ class FitConfig:
     width: int = 128
     height: int = 128
     std_dev: float = 1.0
-    use_tiled: bool = False
+    use_tiled: bool = True
 
 
 def fit_splats(
@@ -132,29 +130,28 @@ def fit_splats(
     tx = optax.adam(config.lr)
     opt_state = tx.init(params)
 
-    pair_cap = row_cap = 0
+    pair_cap = 0
     if config.use_tiled:
-        # size the pair budget to the worst view once (pow2-rounded)
-        from ..render.binning import calibrate_pairs
+        # size the class-C overflow budget to the worst view (pow2-rounded)
+        from ..render.binning import required_overflow
 
         n_views = targets.shape[0]
-        need_p = need_r = 1
+        need_p = 1
         for i in range(n_views):
             cam_i = jax.tree.map(lambda a: a[i], cameras)
             proj = project_splats(
                 splats, cam_i, std_dev=config.std_dev,
                 render_mode=RenderMode.ALBEDO,
             )
-            p_i, r_i = calibrate_pairs(proj, config.width, config.height)
-            need_p, need_r = max(need_p, p_i), max(need_r, r_i)
-        up = lambda v: 1 << max(int(v) - 1, 1).bit_length()
-        pair_cap, row_cap = up(need_p), up(need_r)
+            need_p = max(need_p, int(required_overflow(
+                proj, config.width, config.height)))
+        pair_cap = 1 << max(need_p - 1, 8192).bit_length()
 
     step = jax.jit(
         train_step_fn(
             tx, config.width, config.height, std_dev=config.std_dev,
             use_tiled=config.use_tiled, mesh=devices_mesh,
-            pair_capacity=pair_cap, row_capacity=row_cap,
+            pair_capacity=pair_cap,
         )
     )
 
@@ -165,14 +162,13 @@ def fit_splats(
     return params.to_splats(valid), history
 
 
-def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=False, mesh=None,
-                  pair_capacity=0, row_capacity=0):
+def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=True, mesh=None,
+                  pair_capacity=0):
     """Returns a jittable (params, opt_state, valid, cameras, targets) ->
     (params, opt_state, loss) step — the building block the multichip dryrun
     compiles over an N-device mesh."""
     loss_fn = partial(l2_loss, width=width, height=height, std_dev=std_dev,
-                      use_tiled=use_tiled, pair_capacity=pair_capacity,
-                      row_capacity=row_capacity)
+                      use_tiled=use_tiled, pair_capacity=pair_capacity)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P

@@ -82,7 +82,7 @@ def test_binning_pairs_cover_dense_coverage():
     pair list contains that splat."""
     sp = random_splats(30, 2)
     proj = project(sp)
-    binned = binning.bin_splats(proj, W, H, pair_capacity=30 * 16)
+    binned = binning.bin_pairs(proj, W, H, c_capacity=30 * 16)
     counts = np.asarray(binned.tile_counts)
     dense = rasterize_dense(proj, W, H)
     covered = np.asarray(dense["albedo"])[..., 3] > 0
