@@ -507,4 +507,149 @@ def write_glb(
     else:
         with open(path, "wb") as f:
             f.write(out)
+
+
+def write_glb_multi(path, primitives: list[dict], node_trs: list[dict] | None = None):
+    """Write a multi-primitive GLB with full PBR materials and a node
+    hierarchy — a production-shaped asset (SciFiHelmet-like: several
+    primitives, baseColor + normal + metallicRoughness textures, TRS nodes;
+    reference ingest path: SceneManager.cpp:195-459).
+
+    primitives: list of dicts with keys
+      positions (V,3) f32, indices (T,3) u32, normals (V,3), uvs (V,2),
+      tangents (V,4) [optional], base_color_png / normal_png /
+      metallic_roughness_png (bytes, optional), base_color_factor (4,),
+      metallic_factor, roughness_factor.
+    node_trs: per-primitive dicts with optional translation/rotation/scale
+      lists (glTF TRS order); each primitive gets its own child node under a
+      root node, exercising the scene-graph transform bake.
+    """
+    buffers = []
+    views = []
+    accessors = []
+
+    def add_blob(arr_bytes, target=None):
+        off = sum(len(b) for b in buffers)
+        pad = (-off) % 4
+        if pad:
+            buffers.append(b"\0" * pad)
+            off += pad
+        buffers.append(arr_bytes)
+        view = {"buffer": 0, "byteOffset": off, "byteLength": len(arr_bytes)}
+        if target:
+            view["target"] = target
+        views.append(view)
+        return len(views) - 1
+
+    def add_accessor(arr, type_str, component=5126, target=34962, minmax=False):
+        vidx = add_blob(np.ascontiguousarray(arr).tobytes(), target)
+        acc = {
+            "bufferView": vidx,
+            "componentType": component,
+            "count": arr.shape[0],
+            "type": type_str,
+        }
+        if minmax:
+            acc["min"] = arr.min(axis=0).tolist()
+            acc["max"] = arr.max(axis=0).tolist()
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    images = []
+    textures = []
+    materials = []
+    meshes = []
+    child_nodes = []
+
+    def add_texture(png_bytes):
+        img_view = add_blob(png_bytes)
+        images.append({"bufferView": img_view, "mimeType": "image/png"})
+        textures.append({"source": len(images) - 1, "sampler": 0})
+        return len(textures) - 1
+
+    for pi, prim in enumerate(primitives):
+        attrs = {
+            "POSITION": add_accessor(
+                np.asarray(prim["positions"], np.float32), "VEC3", minmax=True
+            ),
+            "NORMAL": add_accessor(
+                np.asarray(prim["normals"], np.float32), "VEC3"
+            ),
+            "TEXCOORD_0": add_accessor(
+                np.asarray(prim["uvs"], np.float32), "VEC2"
+            ),
+        }
+        if prim.get("tangents") is not None:
+            attrs["TANGENT"] = add_accessor(
+                np.asarray(prim["tangents"], np.float32), "VEC4"
+            )
+        idx_acc = add_accessor(
+            np.asarray(prim["indices"], np.uint32).reshape(-1, 1), "SCALAR",
+            component=5125, target=34963,
+        )
+        mat = {
+            "pbrMetallicRoughness": {
+                "baseColorFactor": list(
+                    map(float, prim.get("base_color_factor", (1, 1, 1, 1)))
+                ),
+                "metallicFactor": float(prim.get("metallic_factor", 1.0)),
+                "roughnessFactor": float(prim.get("roughness_factor", 1.0)),
+            }
+        }
+        if prim.get("base_color_png") is not None:
+            mat["pbrMetallicRoughness"]["baseColorTexture"] = {
+                "index": add_texture(prim["base_color_png"])
+            }
+        if prim.get("metallic_roughness_png") is not None:
+            mat["pbrMetallicRoughness"]["metallicRoughnessTexture"] = {
+                "index": add_texture(prim["metallic_roughness_png"])
+            }
+        if prim.get("normal_png") is not None:
+            mat["normalTexture"] = {"index": add_texture(prim["normal_png"])}
+        materials.append(mat)
+        meshes.append({
+            "name": f"prim{pi}",
+            "primitives": [{
+                "attributes": attrs, "indices": idx_acc, "mode": 4,
+                "material": len(materials) - 1,
+            }],
+        })
+        node = {"mesh": pi, "name": f"node{pi}"}
+        if node_trs and node_trs[pi]:
+            node.update(node_trs[pi])
+        child_nodes.append(node)
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "mesh2splat_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": (
+            [{"name": "root", "children": list(range(1, len(child_nodes) + 1))}]
+            + child_nodes
+        ),
+        "meshes": meshes,
+        "materials": materials,
+    }
+    if images:
+        gltf["images"] = images
+        gltf["textures"] = textures
+        gltf["samplers"] = [{}]
+
+    binary = b"".join(buffers)
+    binary += b"\0" * ((-len(binary)) % 4)
+    gltf["buffers"] = [{"byteLength": len(binary)}]
+    gltf["bufferViews"] = views
+    gltf["accessors"] = accessors
+
+    js = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(binary)
+    out = struct.pack("<III", 0x46546C67, 2, total)
+    out += struct.pack("<II", len(js), 0x4E4F534A) + js
+    out += struct.pack("<II", len(binary), 0x004E4942) + binary
+    if hasattr(path, "write"):
+        path.write(out)
+    else:
+        with open(path, "wb") as f:
+            f.write(out)
     return total

@@ -30,6 +30,57 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def init_distributed(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    platform: str | None = None,
+) -> None:
+    """Join a multi-HOST (multi-process) JAX runtime. After this,
+    jax.devices() spans every process and Mesh/shard_map programs run DCN/
+    ICI collectives across hosts — the missing piece the reference (single-
+    process, single-GPU) never had (SURVEY.md section 2.5).
+
+    On TPU pods, coordinator_address/num_processes/process_id usually come
+    from the environment and may be omitted upstream; this wrapper keeps the
+    explicit form so CPU multi-process tests (gloo collectives) and real pod
+    slices share one code path.
+    """
+    if platform == "cpu":
+        # Gloo is the cross-process collectives implementation for XLA:CPU;
+        # TPU slices use ICI/DCN natively and ignore this setting.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis_shape: tuple[int, ...] | None = None,
+                axis_names: tuple[str, ...] = ("dp",)) -> Mesh:
+    """Mesh over ALL processes' devices (call after init_distributed).
+    axis_shape defaults to 1-D over every global device."""
+    devs = np.asarray(jax.devices())
+    if axis_shape is None:
+        axis_shape = (len(devs),)
+    return Mesh(devs.reshape(axis_shape), axis_names)
+
+
+def put_global(tree, mesh: Mesh, spec):
+    """device_put that works on multi-process meshes: every process passes
+    the SAME full (host/numpy) value; each fills only its addressable
+    shards. On a single-process mesh this is equivalent to device_put."""
+    def put(a):
+        a = np.asarray(a)
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def pad_to_multiple(a, m, axis=0):
     pad = (-a.shape[axis]) % m
     if pad == 0:
@@ -39,12 +90,23 @@ def pad_to_multiple(a, m, axis=0):
     return jnp.pad(a, widths)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def _put(tree, mesh: Mesh, spec):
+    if _spans_processes(mesh):
+        return put_global(tree, mesh, spec)
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
 def shard_triangles(mesh_geom: TriangleMesh, mesh: Mesh, axis: str = "dp") -> TriangleMesh:
     """Pad + shard the triangle soup across devices (conversion input)."""
     n = mesh.shape[axis]
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(
-        lambda a: jax.device_put(pad_to_multiple(a, n), sharding), mesh_geom
+    return _put(
+        jax.tree.map(lambda a: pad_to_multiple(a, n), mesh_geom), mesh, P(axis)
     )
 
 
@@ -91,14 +153,12 @@ def convert_sharded(
 
 
 def replicate(tree, mesh: Mesh):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return _put(tree, mesh, P())
 
 
 def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
     """Shard leading (batch) dim across devices."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return _put(tree, mesh, P(axis))
 
 
 def rasterize_sharded(

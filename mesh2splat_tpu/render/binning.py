@@ -24,10 +24,13 @@ scripts/ubench*.py):
     machinery, no gathers. Splats spanning more than K_SLOTS tiles go through
     the exact budgeted expansion (class C) at a calibrated small capacity.
 
-  * ONE ``lax.sort`` over all candidate rows, key = tile * 2^21 + depth_rank
-    (uint32; falls back to a (tile, rank) 2-key sort when the bits don't
-    fit), CARRYING every per-pair field column plus a pre-sort row id. Dead
-    slots get a sentinel key and sort past the live pairs.
+  * ONE ``lax.sort`` over all candidate rows with keys (tile, view_depth
+    [, rowid]), CARRYING every per-pair field column. Sorting on the f32
+    depth directly replaces the round-2a global argsort+scatter rank pass
+    (two more P-scale passes) at the cost of one extra key operand. The
+    rowid tertiary key reproduces the dense rasterizer's stable tie-break
+    (splat index order) for coincident depths. Dead slots get a sentinel
+    tile and sort past the live pairs.
 
   * Per-tile ranges come from ONE searchsorted over the sorted keys. Ranges
     are contiguous (no padding): the compositing kernel rounds its DMA window
@@ -62,7 +65,6 @@ TILE_W = 128
 # histogram is sy in {1,2,3} for 99.9% of splats and sx == 1 for 93%, so 3
 # column slots cover ~93% of splats exactly; the rest go through class C.
 K_SLOTS = 3
-RANK_BITS = 21
 
 CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
 
@@ -134,23 +136,28 @@ def _f0(like):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _sort_carry(num_keys, *ops):
-    """ops = num_keys int key arrays, then rowid (int32), then f32 values.
-    Returns the fully sorted tuple. Differentiable w.r.t. the value operands:
-    the backward pass re-sorts the cotangents by the carried row id (the
-    permutation inverse), which is far cheaper than a P-scale gather."""
+    """ops = (tile int32, depth f32, rowid int32, *f32 values); the first
+    num_keys (=3) operands are sort keys — rowid doubles as a stable
+    tie-break. Returns the fully sorted tuple. Differentiable w.r.t. the
+    value operands: the backward pass re-sorts the cotangents by the carried
+    row id (the permutation inverse), far cheaper than a P-scale gather."""
     return tuple(jax.lax.sort(ops, num_keys=num_keys))
 
 
 def _sort_carry_fwd(num_keys, *ops):
     out = tuple(jax.lax.sort(ops, num_keys=num_keys))
-    return out, out[num_keys]  # rowid_sorted
+    return out, out[num_keys - 1]  # rowid_sorted
 
 
 def _sort_carry_bwd(num_keys, rowid_sorted, cts):
-    dvals = cts[num_keys + 1:]
+    dvals = cts[num_keys:]
     unsorted = jax.lax.sort((rowid_sorted, *dvals), num_keys=1)[1:]
-    ints = (rowid_sorted,) * (num_keys + 1)
-    return tuple(_f0(i) for i in ints) + tuple(unsorted)
+    zero_keys = (
+        _f0(rowid_sorted),                               # tile (int32)
+        jnp.zeros(rowid_sorted.shape, jnp.float32),      # depth (f32 key)
+        _f0(rowid_sorted),                               # rowid (int32)
+    )
+    return zero_keys + tuple(unsorted)
 
 
 _sort_carry.defvjp(_sort_carry_fwd, _sort_carry_bwd)
@@ -242,12 +249,10 @@ def bin_pairs(
     mean_px, tx0, ty0, sx, sy, valid = _tile_geom(proj, width, height)
     pairs_n = sx * sy
 
-    # global depth ranks: one sort, like the reference's radix pass
-    # (radixSortPrepass.glsl:29-32 near->far invariant)
-    order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf), stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
+    # near->far within tile comes from sorting on the f32 view depth
+    # directly (radixSortPrepass.glsl:29-32 invariant, minus the
+    # float-bits-to-uint trick a comparison sort does not need)
+    depth = proj.depth
 
     vals = _record_columns(proj, mean_px, variant)
     nf = len(vals)
@@ -259,12 +264,12 @@ def bin_pairs(
     dx_a = j[None, :] - dy_a * sx[:, None]
     live_a = is_a[:, None] & (j[None, :] < pairs_n[:, None])
     tile_a = ((ty0[:, None] + dy_a) * tx + tx0[:, None] + dx_a).reshape(-1)
-    rank_a = jnp.broadcast_to(rank[:, None], (n, K_SLOTS)).reshape(-1)
     live_a = live_a.reshape(-1)
 
     def bcast(col):
         return jnp.broadcast_to(col[:, None], (n, K_SLOTS)).reshape(-1)
 
+    depth_a = bcast(depth)
     vals_a = [bcast(c) for c in vals]
 
     # ---- class C: exact budgeted expansion for wide-span splats ----------
@@ -277,69 +282,47 @@ def bin_pairs(
     live_c = jnp.arange(c_capacity, dtype=jnp.int32) < tot_c
     # one narrow int gather for the per-owner tile geometry
     packed_geom = tx0 | (ty0 << 6) | (jnp.minimum(sx, 63) << 16)
-    tab = jnp.stack([rank, packed_geom], axis=1)
-    tc = jax.lax.optimization_barrier(tab[owner_c])  # (C, 2)
-    rank_c = tc[:, 0]
-    tx0_c = tc[:, 1] & 63
-    ty0_c = (tc[:, 1] >> 6) & 1023
-    sx_c = jnp.maximum((tc[:, 1] >> 16) & 63, 1)
+    tc = jax.lax.optimization_barrier(packed_geom[owner_c])  # (C,)
+    tx0_c = tc & 63
+    ty0_c = (tc >> 6) & 1023
+    sx_c = jnp.maximum((tc >> 16) & 63, 1)
     dy_c = local_c // sx_c
     dx_c = local_c - dy_c * sx_c
     tile_c = (ty0_c + dy_c) * tx + tx0_c + dx_c
-    # one (C, F)-row gather for the field values (differentiable: its VJP is
-    # the scatter-add back onto the class-C splats)
-    rec = jnp.stack(vals, axis=1)  # (N, F)
-    rec_c = rec[owner_c]           # (C, F)
+    # one (C, F+1)-row gather for depth + field values (differentiable: its
+    # VJP is the scatter-add back onto the class-C splats)
+    rec = jnp.stack(vals + [depth], axis=1)  # (N, F+1)
+    rec_c = rec[owner_c]                     # (C, F+1)
     vals_c = [rec_c[:, i] for i in range(nf)]
+    depth_c = rec_c[:, nf]
 
     # ---- concatenate rows, sort once with carried fields ------------------
     tile_rows = jnp.concatenate([
         jnp.where(live_a, tile_a, num_tiles),
         jnp.where(live_c, tile_c, num_tiles),
     ])
-    rank_rows = jnp.concatenate([
-        jnp.where(live_a, rank_a, 0),
-        jnp.where(live_c, rank_c, 0),
-    ])
+    depth_rows = jnp.concatenate([depth_a, depth_c])
     rows = tile_rows.shape[0]
     val_rows = [
         jnp.concatenate([a, c]) for a, c in zip(vals_a, vals_c)
     ]
     carried = val_rows
+
     if differentiable:
+        # rowid doubles as a tertiary tie-break key: equal-depth pairs keep
+        # splat-index order, matching the dense path's stable argsort
         rowid = jnp.arange(rows, dtype=jnp.int32)
-
-    packed_ok = (num_tiles + 1) < (1 << (32 - RANK_BITS)) and n <= (1 << RANK_BITS)
-    if packed_ok:
-        key = (
-            tile_rows.astype(jnp.uint32) * jnp.uint32(1 << RANK_BITS)
-            + rank_rows.astype(jnp.uint32)
-        )
-        keys = (key,)
+        out = _sort_carry(3, tile_rows, depth_rows, rowid, *carried)
+        sorted_vals = out[3:]
     else:
-        keys = (tile_rows, rank_rows)
-    nk = len(keys)
+        out = tuple(jax.lax.sort(
+            (tile_rows, depth_rows, *carried), num_keys=2
+        ))
+        sorted_vals = out[2:]
 
-    if differentiable:
-        out = _sort_carry(nk, *keys, rowid, *carried)
-        sorted_vals = out[nk + 1:]
-    else:
-        out = tuple(jax.lax.sort((*keys, *carried), num_keys=nk))
-        sorted_vals = out[nk:]
-
-    if packed_ok:
-        key_sorted = out[0]
-        probes = (
-            jnp.arange(num_tiles + 1, dtype=jnp.uint32)
-            * jnp.uint32(1 << RANK_BITS)
-        )
-        tile_starts = jnp.searchsorted(key_sorted, probes, side="left").astype(
-            jnp.int32
-        )
-    else:
-        tile_starts = jnp.searchsorted(
-            out[0], jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
+    tile_starts = jnp.searchsorted(
+        out[0], jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
 
     f_pad = padded_rows(variant)
     pad = [jnp.zeros((rows,), jnp.float32)] * (f_pad - nf)

@@ -8,12 +8,32 @@ raster-output units, so the sorted "under" operator runs explicitly: each
 (8, 128)-pixel tile walks its depth-ordered pair list, updating premultiplied
 accumulators and two transmittance planes in VMEM.
 
+Round-2 kernel formulation: the per-(pair, pixel) work rides the MXU instead
+of the VPU wherever it has matmul structure, which is most of it:
+
+  * gaussian falloff power, the quad-coverage coordinates (u, v), and all
+    per-pixel broadcasts are LINEAR in the pixel-feature basis
+    [1, x, y, x^2, x*y, y^2] (tile-local coords), so one
+    (3*CHUNK, 8) @ (8, NPX) matmul evaluates power/u/v for every pair of the
+    chunk on every pixel of the tile;
+  * the front-to-back transmittance chain is a prefix product; in log space
+    it is a prefix SUM, i.e. a (CHUNK, CHUNK) lower-triangular matmul;
+  * channel accumulation sum_pairs value[pair] * weight[pair, px] is a
+    (channels, CHUNK) @ (CHUNK, NPX) matmul;
+  * the backward pass reduces per-pair gradients over pixels with moment
+    matmuls against the same feature basis: every geometric gradient
+    (d mean, d conic) is a linear combination of the moments
+    sum_px gp * [1, x, y, x^2, xy, y^2].
+
+All matmuls run at Precision.HIGHEST (full f32 via MXU passes); the
+remaining VPU work per chunk is ~a dozen elementwise passes (exp, log,
+masks) instead of round-1's ~40.
+
 Pair data arrives field-major — an (F_pad, P) f32 buffer (binning.py), so a
-chunk of 128 pairs is ONE lane-aligned (F_pad, 128) DMA of a few KB instead
-of round 1's 64 KB padded-record window (the pair buffer shrank 8x). Tile
-ranges are contiguous and unpadded: the kernel rounds its window start down
-to the 128-lane alignment Mosaic requires and masks the out-of-range rows.
-The backward kernel writes gradient windows the same way; boundary windows
+chunk of 128 pairs is ONE lane-aligned (F_pad, 128) DMA. Tile ranges are
+contiguous and unpadded: the kernel rounds its window start down to the
+128-lane alignment Mosaic requires and masks the out-of-range rows. The
+backward kernel writes gradient windows the same way; boundary windows
 shared with the previous tile are read-modify-written, which is race-free
 because a Pallas TPU grid executes sequentially on the core.
 
@@ -22,10 +42,12 @@ the 3 conic floats (ops.projection.axes_from_conic — the same helper
 project_splats uses, so dense/tiled stay bit-identical) at per-PAIR (not
 per-pixel) cost.
 
-Forward deviation from the reference (documented): a tile stops processing
-once its max alpha-transmittance < 1/255 — the reference's hardware blending
-has no early-out, but contributions below that threshold are invisible in
-8-bit output (standard 3DGS practice).
+Forward deviations from the reference (documented):
+  * a tile stops processing once its max alpha-transmittance < 1/255 — the
+    reference's hardware blending has no early-out, but contributions below
+    that threshold are invisible in 8-bit output (standard 3DGS practice);
+  * transmittance products are computed as exp(sum(log(1-a))) (so the chain
+    rides the MXU); relative error vs the direct product is ~1e-6.
 
 The backward pass is the differentiable-3DGS suffix trick, per tile: for
 out = sum_i s_i * T_i with T_i = prod_{j<i}(1 - a_j),
@@ -55,6 +77,7 @@ from . import binning as B
 
 TILE_H = B.TILE_H
 TILE_W = B.TILE_W
+NPX = TILE_H * TILE_W
 NUM_CH = 16
 CHUNK = B.CHUNK
 
@@ -63,78 +86,87 @@ G_GROUP = (4, 5, 6, 7, 12, 13)
 CH_TA, CH_TG = 14, 15
 
 _MIN_T = 1.0 / 255.0
+_MIN_LOG_T = -5.545177  # log(1/255)
+
+# kernel tuning knobs (see scripts/profile_composite_variants.py)
+import os as _os
+
+_PREC_NAME = _os.environ.get("MS_COMP_PRECISION", "high")
+_EVAL_MXU = _os.environ.get("MS_COMP_EVAL", "mxu") == "mxu"
+_SCAN_ON = _os.environ.get("MS_COMP_SCAN", "1") == "1"
 
 
-def _pixel_coords(tile_row, tile_col, height):
-    """GL window-space pixel centers for this tile; row 0 of the array is the
-    TOP of the image (y_gl decreasing with row)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    px = tile_col.astype(jnp.float32) * TILE_W + cols + 0.5
-    py = height - (tile_row.astype(jnp.float32) * TILE_H + rows + 0.5)
-    return px, py
+def _dot_raw(a, b, precision):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
 
 
-def _live_mask(base, start, end):
-    """(CHUNK, 1, 1) mask of chunk rows within [start, end) — the window is
+def _dotf(a, b):
+    """f32-accurate matmul contracting a's dim 1 with b's dim 0.
+
+    "high" = manual bf16x3 error-compensated decomposition (Mosaic's dot
+    lowering accepts only DEFAULT/HIGHEST, and HIGHEST costs 6 bf16 MXU
+    passes; 3 passes carry ~f32 accuracy for this kernel's O(1e3)-bounded
+    magnitudes): with a = a_hi + a_lo, b = b_hi + b_lo rounded through
+    bf16, a@b ~= a_hi@b_hi + a_hi@b_lo + a_lo@b_hi (the a_lo@b_lo term is
+    below f32 ulp)."""
+    if _PREC_NAME == "highest":
+        return _dot_raw(a, b, jax.lax.Precision.HIGHEST)
+    if _PREC_NAME == "default":
+        return _dot_raw(a, b, jax.lax.Precision.DEFAULT)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = jax.lax.Precision.DEFAULT
+    return (
+        _dot_raw(a_hi, b_hi, d) + _dot_raw(a_hi, b_lo, d)
+        + _dot_raw(a_lo, b_hi, d)
+    )
+
+
+def _dott(a, b):
+    """Contract dim 0 of both operands: (K, M) x (K, N) -> (M, N), same
+    precision policy as _dotf."""
+    if _PREC_NAME in ("highest", "default"):
+        prec = (jax.lax.Precision.HIGHEST if _PREC_NAME == "highest"
+                else jax.lax.Precision.DEFAULT)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+    return _dotf(jnp.transpose(a), b)
+
+
+def _pixel_features():
+    """(8, NPX) pixel-feature rows [1, x, y, x^2, x*y, y^2, 0, 0] in
+    tile-LOCAL coordinates: x = col + .5, y = row + .5 of the flattened
+    row-major (TILE_H, TILE_W) pixel index."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
+    x = (q % TILE_W).astype(jnp.float32) + 0.5
+    y = (q // TILE_W).astype(jnp.float32) + 0.5
+    one = jnp.ones((1, NPX), jnp.float32)
+    zero = jnp.zeros((1, NPX), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero], 0)
+
+
+def _tri_mats():
+    """Strict and inclusive lower-triangular (CHUNK, CHUNK) prefix-sum
+    operators."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    strict = (ri > ci).astype(jnp.float32)
+    incl = (ri >= ci).astype(jnp.float32)
+    return strict, incl
+
+
+def _live_col(base, start, end):
+    """(CHUNK, 1) mask of chunk rows within [start, end) — the window is
     rounded down to lane alignment, so rows before `start` exist too."""
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    return (jnp.logical_and(rows >= start, rows < end))[..., None]
-
-
-def _splat_eval_chunk(s, idx, px, py, live):
-    """Coverage-masked gaussian falloff for ALL pairs of the chunk at once.
-
-    s: (CHUNK, F_pad) transposed chunk; idx: field name -> column;
-    px/py: (TILE_H, TILE_W); live: (CHUNK, 1, 1). Returns (g, dx, dy), each
-    (CHUNK, TILE_H, TILE_W). Quad axes are recomputed from the conic at
-    per-pair cost (reference VS quad: gaussianSplattingVS.glsl:32)."""
-
-    def col(name):
-        f = idx[name]
-        return s[:, f : f + 1][..., None]
-
-    dx = col("mean_x") - px[None]
-    dy = col("mean_y") - py[None]
-    ca, cb, cc = col("conic_a"), col("conic_b"), col("conic_c")
-    power = -(0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy)
-    g = jnp.exp(jnp.minimum(power, 0.0))
-
-    mjx, mjy, mnx, mny = axes_from_conic(ca, cb, cc)
-    det = mjx * mny - mnx * mjy
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    rdet = 1.0 / det  # one divide per PAIR, not per pixel
-    u = (-dx * mny + mnx * dy) * rdet
-    v = (-mjx * dy + dx * mjy) * rdet
-    inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
-    g = jnp.where(inside & live, g, 0.0)
-    return g, dx, dy
-
-
-def _cumprod_excl(x):
-    """Exclusive cumulative product along axis 0 (static length) via a
-    doubling scan — log2(K) shifted multiplies, all static slices."""
-    k = x.shape[0]
-    ones = jnp.ones_like(x[:1])
-    y = x
-    shift = 1
-    while shift < k:
-        pad = jnp.ones_like(x[:shift])
-        y = y * jnp.concatenate([pad, y[:-shift]], axis=0)
-        shift *= 2
-    return jnp.concatenate([ones, y[:-1]], axis=0)
-
-
-def _cumsum_incl(x):
-    """Inclusive cumulative sum along axis 0 via a doubling scan."""
-    k = x.shape[0]
-    y = x
-    shift = 1
-    while shift < k:
-        pad = jnp.zeros_like(x[:shift])
-        y = y + jnp.concatenate([pad, y[:-shift]], axis=0)
-        shift *= 2
-    return y
+    return jnp.logical_and(rows >= start, rows < end)
 
 
 def _tile_range(starts_ref):
@@ -150,26 +182,94 @@ def _tile_range(starts_ref):
     return ti, tj, start, end, aligned, num_chunks
 
 
+def _tile_origin(ti, tj, height):
+    """Tile-local frame: window-space pixel px = tjf*TILE_W + x,
+    py = py0 - y for local feature coords x, y (see _pixel_features)."""
+    tjf = tj.astype(jnp.float32) * TILE_W
+    py0 = height - ti.astype(jnp.float32) * TILE_H
+    return tjf, py0
+
+
+def _chunk_planes(st, idx, tjf, py0, feats, live):
+    """power/u/v planes for all (pair, pixel) of the chunk via ONE
+    (3*CHUNK, 8) @ (8, NPX) matmul, plus the coverage-masked falloff.
+
+    st: (CHUNK, F_pad) chunk records; feats: (8, NPX) pixel features;
+    live: (CHUNK, 1) bool. Returns (g, mxp, myp) with g (CHUNK, NPX).
+    Quad axes are recomputed from the conic at per-PAIR cost (reference VS
+    quad: gaussianSplattingVS.glsl:32)."""
+
+    def col(name):
+        f = idx[name]
+        return st[:, f:f + 1]
+
+    ca, cb, cc = col("conic_a"), col("conic_b"), col("conic_c")
+    mxp = col("mean_x") - tjf       # dx = mxp - x
+    myp = col("mean_y") - py0       # dy = myp + y
+
+    mjx, mjy, mnx, mny = axes_from_conic(ca, cb, cc)
+    det = mjx * mny - mnx * mjy
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    rdet = 1.0 / det  # one divide per PAIR, not per pixel
+
+    # power = -(.5*ca*dx^2 + cb*dx*dy + .5*cc*dy^2) expanded in [1,x,y,...];
+    # u = rdet*(-dx*mny + mnx*dy); v = rdet*(-mjx*dy + dx*mjy) — affine
+    c_pw = (
+        -(0.5 * ca * mxp * mxp + cb * mxp * myp + 0.5 * cc * myp * myp),
+        ca * mxp + cb * myp,
+        -(cb * mxp + cc * myp),
+        -0.5 * ca,
+        cb,
+        -0.5 * cc,
+    )
+    c_u = (rdet * (mnx * myp - mny * mxp), rdet * mny, rdet * mnx)
+    c_v = (rdet * (mxp * mjy - mjx * myp), -rdet * mjy, -rdet * mjx)
+
+    if _EVAL_MXU:
+        z = jnp.zeros((CHUNK, 1), jnp.float32)
+        a_pw = jnp.concatenate(list(c_pw) + [z, z], axis=1)
+        a_u = jnp.concatenate(list(c_u) + [z] * 5, axis=1)
+        a_v = jnp.concatenate(list(c_v) + [z] * 5, axis=1)
+        planes = _dotf(jnp.concatenate([a_pw, a_u, a_v], axis=0), feats)
+        pw = planes[:CHUNK]
+        u = planes[CHUNK:2 * CHUNK]
+        v = planes[2 * CHUNK:3 * CHUNK]
+    else:
+        xp, yp = feats[1:2], feats[2:3]
+        xx, xy, yy = feats[3:4], feats[4:5], feats[5:6]
+        pw = (c_pw[0] + c_pw[1] * xp + c_pw[2] * yp
+              + c_pw[3] * xx + c_pw[4] * xy + c_pw[5] * yy)
+        u = c_u[0] + c_u[1] * xp + c_u[2] * yp
+        v = c_v[0] + c_v[1] * xp + c_v[2] * yp
+
+    inside = (jnp.maximum(jnp.abs(u), jnp.abs(v)) <= 1.0) & live
+    g = jnp.where(inside, jnp.exp(jnp.minimum(pw, 0.0)), 0.0)
+    return g, mxp, myp
+
+
 def _make_forward_kernel(idx, f_pad, albedo_only):
     """Forward kernel factory. albedo_only skips the g-group channels
     (position/metal-rough) and normal/depth — the training hot path only
     consumes premultiplied rgba. DMA is double-buffered: chunk c+1 streams in
-    while chunk c composites."""
+    while chunk c composites. Accumulators live in a (NUM_CH, NPX) scratch
+    (rows 14/15 hold LOG transmittances) and are reshaped into the output
+    block once per tile."""
 
     def _forward_kernel(
         starts_ref,          # scalar prefetch: (num_tiles + 1,) int32
         height_ref,          # scalar prefetch: (1,) int32 image height
         fields_hbm,          # (F_pad, P) f32 in HBM
         out_ref,             # (NUM_CH, TILE_H, TILE_W) VMEM
+        acc,                 # (NUM_CH, NPX) VMEM accumulators
         scratch,             # (2, F_pad, CHUNK) VMEM double buffer
         sem,                 # DMA semaphores (2,)
     ):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
-        px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
+        tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
+        feats = _pixel_features()
+        l_strict, _ = _tri_mats()
 
-        out_ref[...] = jnp.zeros((NUM_CH, TILE_H, TILE_W), jnp.float32)
-        out_ref[CH_TA] = jnp.ones((TILE_H, TILE_W), jnp.float32)
-        out_ref[CH_TG] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        acc[...] = jnp.zeros((NUM_CH, NPX), jnp.float32)
 
         def dma(slot, c):
             return pltpu.make_async_copy(
@@ -183,8 +283,8 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
             dma(0, 0).start()
 
         def chunk_cond(state):
-            c, t_max = state
-            return jnp.logical_and(c < num_chunks, t_max > _MIN_T)
+            c, ta_max = state
+            return jnp.logical_and(c < num_chunks, ta_max > _MIN_LOG_T)
 
         def chunk_body(state):
             c, _ = state
@@ -195,57 +295,71 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
                 dma(1 - slot, c + 1).start()
 
             dma(slot, c).wait()
-            s = jnp.transpose(scratch[slot])  # (CHUNK, F_pad)
+            st = jnp.transpose(scratch[slot])  # (CHUNK, F_pad)
             base = aligned + c * CHUNK
-
-            g, _, _ = _splat_eval_chunk(s, idx, px, py,
-                                        _live_mask(base, start, end))
-            alpha = s[:, idx["alpha"] : idx["alpha"] + 1][..., None]
-            ag = jnp.minimum(alpha * g, 0.9999)
 
             def col(name):
                 f = idx[name]
-                return s[:, f : f + 1][..., None]
+                return st[:, f:f + 1]
 
-            # exclusive within-chunk transmittances x carried-in transmittance
-            ex_a = _cumprod_excl(1.0 - ag)
-            tot_a = ex_a[CHUNK - 1] * (1.0 - ag[CHUNK - 1])
-            w_a = ex_a * out_ref[CH_TA][None]
-            gw_a = g * w_a
-            agw = alpha * gw_a
+            g, _, _ = _chunk_planes(st, idx, tjf, py0, feats,
+                                    _live_col(base, start, end))
+            alpha = col("alpha")
+            agr = alpha * g                       # raw, accumulation weight
+            ag = jnp.minimum(agr, 0.9999)         # clamped, transmittance
+            lg = jnp.log(1.0 - ag)
+            if _SCAN_ON:
+                cum = _dotf(l_strict, lg)         # exclusive log-prefix
+            else:  # timing-experiment knob: no within-chunk ordering
+                cum = jnp.zeros_like(lg)
+            e_a = jnp.exp(cum + acc[CH_TA:CH_TA + 1])
+            agw = agr * e_a
 
-            out_ref[0] += jnp.sum(col("col_r") * agw, axis=0)
-            out_ref[1] += jnp.sum(col("col_g") * agw, axis=0)
-            out_ref[2] += jnp.sum(col("col_b") * agw, axis=0)
-            out_ref[3] += jnp.sum(agw, axis=0)
+            ones = jnp.ones((CHUNK, 1), jnp.float32)
+            c_a = jnp.concatenate(
+                [col("col_r"), col("col_g"), col("col_b"), ones], axis=1
+            )
+            acc[0:4] += _dott(c_a, agw)
 
             if not albedo_only:
-                ex_g = _cumprod_excl(1.0 - g)
-                tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
-                gw_g = g * ex_g * out_ref[CH_TG][None]
-                out_ref[8] += jnp.sum(col("nrm_x") * gw_a, axis=0)
-                out_ref[9] += jnp.sum(col("nrm_y") * gw_a, axis=0)
-                out_ref[10] += jnp.sum(col("nrm_z") * gw_a, axis=0)
-                out_ref[11] += jnp.sum(col("depth") * gw_a, axis=0)
-                out_ref[4] += jnp.sum(col("ws_x") * gw_g, axis=0)
-                out_ref[5] += jnp.sum(col("ws_y") * gw_g, axis=0)
-                out_ref[6] += jnp.sum(col("ws_z") * gw_g, axis=0)
-                out_ref[7] += jnp.sum(gw_g, axis=0)
-                out_ref[12] += jnp.sum(col("metal") * gw_g, axis=0)
-                out_ref[13] += jnp.sum(col("rough") * gw_g, axis=0)
-                out_ref[CH_TG] *= tot_g
+                gw_a = g * e_a
+                lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
+                cumg = _dotf(l_strict, lgg)
+                gw_g = g * jnp.exp(cumg + acc[CH_TG:CH_TG + 1])
+                c_n = jnp.concatenate(
+                    [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
+                    axis=1,
+                )
+                acc[8:12] += _dott(c_n, gw_a)
+                c_g = jnp.concatenate(
+                    [col("ws_x"), col("ws_y"), col("ws_z"), ones,
+                     col("metal"), col("rough")], axis=1,
+                )
+                gvals = _dott(c_g, gw_g)
+                acc[4:8] += gvals[0:4]
+                acc[12:14] += gvals[4:6]
+                acc[CH_TG:CH_TG + 1] += (
+                    cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
+                )
 
-            out_ref[CH_TA] *= tot_a
-            return c + 1, jnp.max(out_ref[CH_TA])
+            acc[CH_TA:CH_TA + 1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
+            return c + 1, jnp.max(acc[CH_TA:CH_TA + 1])
 
         c_final, _ = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), jnp.float32(1.0))
+            chunk_cond, chunk_body, (jnp.int32(0), jnp.float32(0.0))
         )
 
         # early exit leaves the prefetched next chunk's DMA in flight
         @pl.when(c_final < num_chunks)
         def _():
             dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        acc[CH_TA:CH_TA + 1] = jnp.exp(acc[CH_TA:CH_TA + 1])
+        acc[CH_TG:CH_TG + 1] = (
+            jnp.exp(acc[CH_TG:CH_TG + 1]) if not albedo_only
+            else jnp.ones((1, NPX), jnp.float32)
+        )
+        out_ref[...] = acc[...].reshape(NUM_CH, TILE_H, TILE_W)
 
     return _forward_kernel
 
@@ -262,18 +376,28 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
         scratch,             # (F_pad, CHUNK) in
         dscratch,            # (F_pad, CHUNK) out
         rmw,                 # (F_pad, CHUNK) boundary-window accumulate
-        state,               # (4, TILE_H, TILE_W): T_a, T_g, Bpref_a, Bpref_g
+        state,               # (4, NPX): logT_a, logT_g, Bpref_a, Bpref_g
         sem_in,
         sem_rmw,
         sem_out,
     ):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
-        px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
+        tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
+        feats = _pixel_features()
+        featsT = jnp.transpose(feats)               # (NPX, 8)
+        l_strict, l_incl = _tri_mats()
+        ct = ct_ref[...].reshape(NUM_CH, NPX)
+        ct_rgbaT = jnp.transpose(ct[0:4])           # (NPX, 4)
+        res_a = res_a_ref[...].reshape(1, NPX)
+        if not albedo_only:
+            ct_nT = jnp.transpose(ct[8:12])         # (NPX, 4) nrm+depth
+            ct_g6 = jnp.concatenate(
+                [ct[4:8], ct[12:14]], axis=0
+            )                                       # ws xyz, gacc, met, rgh
+            ct_g6T = jnp.transpose(ct_g6)           # (NPX, 6)
+            res_g = res_g_ref[...].reshape(1, NPX)
 
-        state[0] = jnp.ones((TILE_H, TILE_W), jnp.float32)   # T_a
-        state[1] = jnp.ones((TILE_H, TILE_W), jnp.float32)   # T_g
-        state[2] = jnp.zeros((TILE_H, TILE_W), jnp.float32)  # Bpref_a
-        state[3] = jnp.zeros((TILE_H, TILE_W), jnp.float32)  # Bpref_g
+        state[...] = jnp.zeros((4, NPX), jnp.float32)
 
         def chunk_body(c, _):
             base = aligned + c * CHUNK
@@ -296,103 +420,114 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
                 crm.wait()
 
             cin.wait()
-            s = jnp.transpose(scratch[...])  # (CHUNK, F_pad)
+            st = jnp.transpose(scratch[...])  # (CHUNK, F_pad)
 
             def col(name):
                 f = idx[name]
-                return s[:, f : f + 1][..., None]
+                return st[:, f:f + 1]
 
-            live = _live_mask(base, start, end)
-            g, dx, dy = _splat_eval_chunk(s, idx, px, py, live)
+            live = _live_col(base, start, end)
+            g, mxp, myp = _chunk_planes(st, idx, tjf, py0, feats, live)
             alpha = col("alpha")
-            ag = jnp.minimum(alpha * g, 0.9999)
+            agr = alpha * g
+            ag = jnp.minimum(agr, 0.9999)
+            lg = jnp.log(1.0 - ag)
+            cum = _dotf(l_strict, lg)
+            e_a = jnp.exp(cum + state[0:1])          # per-pixel T_a weights
+            gw_a = g * e_a
 
-            ex_a = _cumprod_excl(1.0 - ag)
-            tot_a = ex_a[CHUNK - 1] * (1.0 - ag[CHUNK - 1])
-            w_a = ex_a * state[0][None]
-
-            ct_rgb = (
-                col("col_r") * ct_ref[0][None]
-                + col("col_g") * ct_ref[1][None]
-                + col("col_b") * ct_ref[2][None]
+            ones = jnp.ones((CHUNK, 1), jnp.float32)
+            c_a = jnp.concatenate(
+                [col("col_r"), col("col_g"), col("col_b"), ones], axis=1
             )
-            sdot_a = alpha * (ct_rgb + ct_ref[3][None])
+            ct_rgb3 = _dotf(c_a, ct[0:4])            # (CHUNK, NPX)
+            sdot_a = alpha * ct_rgb3
             if not albedo_only:
-                sdot_a = (
-                    sdot_a
-                    + col("nrm_x") * ct_ref[8][None]
-                    + col("nrm_y") * ct_ref[9][None]
-                    + col("nrm_z") * ct_ref[10][None]
-                    + col("depth") * ct_ref[11][None]
+                c_n = jnp.concatenate(
+                    [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
+                    axis=1,
                 )
+                sdot_a = sdot_a + _dotf(c_n, ct[8:12])
 
-            bpref_a = state[2][None] + _cumsum_incl(sdot_a * g * w_a)
-            da = -(res_a_ref[0][None] - bpref_a) / (1.0 - ag)
-            dL_dg = sdot_a * w_a + da * alpha
+            p_a = sdot_a * gw_a
+            bpref_a = state[2:3] + _dotf(l_incl, p_a)
+            da = -(res_a - bpref_a) / (1.0 - ag)
+            dL_dg = sdot_a * e_a + da * alpha
             if not albedo_only:
-                ex_g = _cumprod_excl(1.0 - g)
-                tot_g = ex_g[CHUNK - 1] * (1.0 - g[CHUNK - 1])
-                w_g = ex_g * state[1][None]
-                sdot_g = (
-                    col("ws_x") * ct_ref[4][None]
-                    + col("ws_y") * ct_ref[5][None]
-                    + col("ws_z") * ct_ref[6][None]
-                    + ct_ref[7][None]
-                    + col("metal") * ct_ref[12][None]
-                    + col("rough") * ct_ref[13][None]
+                lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
+                cumg = _dotf(l_strict, lgg)
+                e_g = jnp.exp(cumg + state[1:2])
+                gw_g = g * e_g
+                c_g = jnp.concatenate(
+                    [col("ws_x"), col("ws_y"), col("ws_z"), ones,
+                     col("metal"), col("rough")], axis=1,
                 )
-                bpref_g = state[3][None] + _cumsum_incl(sdot_g * g * w_g)
-                dgg = -(res_g_ref[0][None] - bpref_g) / jnp.maximum(
-                    1.0 - g, 1e-4
-                )
-                dL_dg = dL_dg + sdot_g * w_g + dgg
-            dL_dalpha = g * (ct_rgb + ct_ref[3][None]) * w_a + da * g
+                sdot_g = _dotf(c_g, ct_g6)
+                p_g = sdot_g * gw_g
+                bpref_g = state[3:4] + _dotf(l_incl, p_g)
+                dgg = -(res_g - bpref_g) / jnp.maximum(1.0 - g, 1e-4)
+                dL_dg = dL_dg + sdot_g * e_g + dgg
 
-            gp = dL_dg * g  # dL/dpower
+            gp = dL_dg * g                           # dL/dpower
+            dal = g * (ct_rgb3 * e_a + da)           # dL/dalpha plane
+
+            # moments over pixels: one (2*CHUNK, NPX) @ (NPX, 8) matmul
+            mom = _dotf(jnp.concatenate([gp, dal], axis=0), featsT)
+            m0 = mom[:CHUNK, 0:1]
+            mx = mom[:CHUNK, 1:2]
+            my = mom[:CHUNK, 2:3]
+            mxx = mom[:CHUNK, 3:4]
+            mxy = mom[:CHUNK, 4:5]
+            myy = mom[:CHUNK, 5:6]
+            d_alpha = mom[CHUNK:, 0:1]
+
             ca, cb, cc = col("conic_a"), col("conic_b"), col("conic_c")
+            gx = mxp * m0 - mx                       # sum gp * dx
+            gy = myp * m0 + my                       # sum gp * dy
+            d_mean_x = -(ca * gx + cb * gy)
+            d_mean_y = -(cc * gy + cb * gx)
+            d_ca = -0.5 * (mxp * mxp * m0 - 2.0 * mxp * mx + mxx)
+            d_cb = -(mxp * myp * m0 + mxp * my - myp * mx - mxy)
+            d_cc = -0.5 * (myp * myp * m0 + 2.0 * myp * my + myy)
 
-            def rsum(x):
-                return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
-
-            gwa = g * w_a
-            gwg = g * w_g if not albedo_only else gwa
-            agt = alpha * gwa
+            d_rgb = _dotf(agr * e_a, ct_rgbaT[:, 0:3])   # (CHUNK, 3)
 
             zeros = jnp.zeros((CHUNK, 1), jnp.float32)
             cols_out = [zeros] * f_pad
-            cols_out[idx["mean_x"]] = rsum(gp * -(ca * dx + cb * dy))
-            cols_out[idx["mean_y"]] = rsum(gp * -(cc * dy + cb * dx))
-            cols_out[idx["conic_a"]] = rsum(gp * (-0.5 * dx * dx))
-            cols_out[idx["conic_b"]] = rsum(gp * (-dx * dy))
-            cols_out[idx["conic_c"]] = rsum(gp * (-0.5 * dy * dy))
-            cols_out[idx["col_r"]] = rsum(agt * ct_ref[0][None])
-            cols_out[idx["col_g"]] = rsum(agt * ct_ref[1][None])
-            cols_out[idx["col_b"]] = rsum(agt * ct_ref[2][None])
-            cols_out[idx["alpha"]] = rsum(dL_dalpha)
+            cols_out[idx["mean_x"]] = d_mean_x
+            cols_out[idx["mean_y"]] = d_mean_y
+            cols_out[idx["conic_a"]] = d_ca
+            cols_out[idx["conic_b"]] = d_cb
+            cols_out[idx["conic_c"]] = d_cc
+            cols_out[idx["col_r"]] = d_rgb[:, 0:1]
+            cols_out[idx["col_g"]] = d_rgb[:, 1:2]
+            cols_out[idx["col_b"]] = d_rgb[:, 2:3]
+            cols_out[idx["alpha"]] = d_alpha
             if not albedo_only:
-                cols_out[idx["nrm_x"]] = rsum(gwa * ct_ref[8][None])
-                cols_out[idx["nrm_y"]] = rsum(gwa * ct_ref[9][None])
-                cols_out[idx["nrm_z"]] = rsum(gwa * ct_ref[10][None])
-                cols_out[idx["ws_x"]] = rsum(gwg * ct_ref[4][None])
-                cols_out[idx["ws_y"]] = rsum(gwg * ct_ref[5][None])
-                cols_out[idx["ws_z"]] = rsum(gwg * ct_ref[6][None])
-                cols_out[idx["depth"]] = rsum(gwa * ct_ref[11][None])
-                cols_out[idx["metal"]] = rsum(gwg * ct_ref[12][None])
-                cols_out[idx["rough"]] = rsum(gwg * ct_ref[13][None])
+                d_n = _dotf(gw_a, ct_nT)                 # (CHUNK, 4)
+                d_g6 = _dotf(gw_g, ct_g6T)               # (CHUNK, 6)
+                cols_out[idx["nrm_x"]] = d_n[:, 0:1]
+                cols_out[idx["nrm_y"]] = d_n[:, 1:2]
+                cols_out[idx["nrm_z"]] = d_n[:, 2:3]
+                cols_out[idx["depth"]] = d_n[:, 3:4]
+                cols_out[idx["ws_x"]] = d_g6[:, 0:1]
+                cols_out[idx["ws_y"]] = d_g6[:, 1:2]
+                cols_out[idx["ws_z"]] = d_g6[:, 2:3]
+                cols_out[idx["metal"]] = d_g6[:, 4:5]
+                cols_out[idx["rough"]] = d_g6[:, 5:6]
 
             # rows outside [start, end) carry no gradient from this tile
-            live2 = live[:, :, 0]  # (CHUNK, 1)
-            dT = jnp.concatenate(cols_out, axis=1)  # (CHUNK, F_pad)
-            dT = jnp.where(live2, dT, 0.0)
-            dvals = jnp.transpose(dT)  # (F_pad, CHUNK)
+            dT = jnp.concatenate(cols_out, axis=1)   # (CHUNK, F_pad)
+            dT = jnp.where(live, dT, 0.0)
+            dvals = jnp.transpose(dT)                # (F_pad, CHUNK)
             dvals = jnp.where(boundary, dvals + rmw[...], dvals)
             dscratch[...] = dvals
 
-            state[0] *= tot_a
-            state[2] += jnp.sum(sdot_a * g * w_a, axis=0)
+            state[0:1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
+            state[2:3] = bpref_a[CHUNK - 1:CHUNK]
             if not albedo_only:
-                state[1] *= tot_g
-                state[3] += jnp.sum(sdot_g * g * w_g, axis=0)
+                state[1:2] += cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
+                state[3:4] = bpref_g[CHUNK - 1:CHUNK]
 
             cout = pltpu.make_async_copy(
                 dscratch, dfields_hbm.at[:, pl.ds(base, CHUNK)], sem_out
@@ -411,16 +546,25 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
 # ---------------------------------------------------------------------------
 
 
+def _coverage(st, idx, tjf, py0, feats, live):
+    """(CHUNK, NPX) bool coverage = inside quad with non-underflowed
+    falloff — matches g > 0 of the compositing path."""
+    g, _, _ = _chunk_planes(st, idx, tjf, py0, feats, live)
+    return g > 0.0
+
+
 def _make_min_depth_kernel(idx, f_pad):
     """Per-tile MIN of depth over covering pairs — the hardware depth-test
     semantics of the reference's 6 instanced shadow draws (gl_FragDepth =
     radial distance, GL_LESS; GaussianShadowPass.cpp:156-236,
     gaussianPointLightCubeMapShadowPS.glsl:17). Order-independent."""
 
-    def kernel(starts_ref, height_ref, fields_hbm, out_ref, scratch, sem):
+    def kernel(starts_ref, height_ref, fields_hbm, out_ref, acc, scratch,
+               sem):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
-        px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
-        out_ref[...] = jnp.full((1, TILE_H, TILE_W), 3e38, jnp.float32)
+        tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
+        feats = _pixel_features()
+        acc[...] = jnp.full((1, NPX), 3e38, jnp.float32)
 
         def dma(slot, c):
             return pltpu.make_async_copy(
@@ -441,16 +585,19 @@ def _make_min_depth_kernel(idx, f_pad):
                 dma(1 - slot, c + 1).start()
 
             dma(slot, c).wait()
-            s = jnp.transpose(scratch[slot])
+            st = jnp.transpose(scratch[slot])
             base = aligned + c * CHUNK
-            g, _, _ = _splat_eval_chunk(s, idx, px, py,
-                                        _live_mask(base, start, end))
+            cov = _coverage(st, idx, tjf, py0, feats,
+                            _live_col(base, start, end))
             f = idx["depth"]
-            z = jnp.where(g > 0.0, s[:, f : f + 1][..., None], 3e38)
-            out_ref[0] = jnp.minimum(out_ref[0], jnp.min(z, axis=0))
+            z = jnp.where(cov, st[:, f:f + 1], 3e38)
+            acc[0:1] = jnp.minimum(
+                acc[0:1], jnp.min(z, axis=0, keepdims=True)
+            )
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
 
     return kernel
 
@@ -458,12 +605,16 @@ def _make_min_depth_kernel(idx, f_pad):
 def _make_overdraw_kernel(idx, f_pad):
     """Order-independent additive blending (GL_ONE, GL_ONE) of the constant
     overdraw color per covering gaussian — the reference's OVERDRAW debug
-    mode (GaussianSplattingPass.cpp:63-66, gaussianSplattingPS.glsl:34-35)."""
+    mode (GaussianSplattingPass.cpp:63-66, gaussianSplattingPS.glsl:34-35).
+    The count reduction over pairs is a (1, CHUNK) @ (CHUNK, NPX) matmul."""
 
-    def kernel(starts_ref, height_ref, fields_hbm, out_ref, scratch, sem):
+    def kernel(starts_ref, height_ref, fields_hbm, out_ref, acc, scratch,
+               sem):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
-        px, py = _pixel_coords(ti, tj, height_ref[0].astype(jnp.float32))
-        out_ref[...] = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
+        tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
+        feats = _pixel_features()
+        ones_row = jnp.ones((1, CHUNK), jnp.float32)
+        acc[...] = jnp.zeros((1, NPX), jnp.float32)
 
         def dma(slot, c):
             return pltpu.make_async_copy(
@@ -484,14 +635,15 @@ def _make_overdraw_kernel(idx, f_pad):
                 dma(1 - slot, c + 1).start()
 
             dma(slot, c).wait()
-            s = jnp.transpose(scratch[slot])
+            st = jnp.transpose(scratch[slot])
             base = aligned + c * CHUNK
-            g, _, _ = _splat_eval_chunk(s, idx, px, py,
-                                        _live_mask(base, start, end))
-            out_ref[0] += jnp.sum((g > 0.0).astype(jnp.float32), axis=0)
+            cov = _coverage(st, idx, tjf, py0, feats,
+                            _live_col(base, start, end))
+            acc[0:1] += _dotf(ones_row, cov.astype(jnp.float32))
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
 
     return kernel
 
@@ -506,6 +658,7 @@ def _single_channel_call(kernel, fields, tile_starts, height_arr, ty, tx,
             (1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
         ),
         scratch_shapes=[
+            pltpu.VMEM((1, NPX), jnp.float32),
             pltpu.VMEM((2, f_pad, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -573,6 +726,7 @@ def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
             (NUM_CH, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
         ),
         scratch_shapes=[
+            pltpu.VMEM((NUM_CH, NPX), jnp.float32),
             pltpu.VMEM((2, f_pad, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -590,9 +744,6 @@ def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
 
 def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
     fields, tile_starts, height_arr, out = residuals
-    variant = "albedo" if albedo_only else "full"
-    idx = B.field_index(variant)
-    f_pad = B.padded_rows(variant)
 
     # per-pixel Btot per group, + the T-channels' own cotangent contribution
     res_a = sum(out[c] * ct[c] for c in ALPHA_GROUP) + ct[CH_TA] * out[CH_TA]
@@ -600,6 +751,9 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
     res_a = res_a[None]
     res_g = res_g[None]
 
+    variant = "albedo" if albedo_only else "full"
+    idx = B.field_index(variant)
+    f_pad = B.padded_rows(variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ty, tx),
@@ -614,7 +768,7 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
             pltpu.VMEM((f_pad, CHUNK), jnp.float32),
             pltpu.VMEM((f_pad, CHUNK), jnp.float32),
             pltpu.VMEM((f_pad, CHUNK), jnp.float32),
-            pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((4, NPX), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -18,8 +18,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..types import Camera, Material, RenderMode, TriangleMesh, encode_normal
+from ..types import (
+    Camera, Material, RenderMode, TriangleMesh, encode_normal,
+    exponential_depth,
+)
 from ..ops.sampling import sample_bilinear
+
+
+def _tri_random_color(tri_idx):
+    """Per-triangle random color — the reference's gl_PrimitiveID sin-hashes
+    (meshRenderPS.glsl:66-69)."""
+    t = tri_idx.astype(jnp.float32)
+
+    def h(x):
+        return jnp.mod(jnp.sin(x) * 43758.5453, 1.0)
+
+    return jnp.stack([h(t * 311.7), h(t * 269.5 + 1.3), h(t * 183.3 + 2.7)],
+                     axis=-1)
 
 
 def _project_vertices(tri_pos, camera: Camera):
@@ -34,7 +49,9 @@ def _project_vertices(tri_pos, camera: Camera):
     return ndc, w[..., 0]
 
 
-@partial(jax.jit, static_argnames=("width", "height", "chunk", "opaque_only"))
+@partial(jax.jit, static_argnames=(
+    "width", "height", "chunk", "opaque_only", "render_mode",
+))
 def rasterize_mesh(
     mesh: TriangleMesh,
     material: Material,
@@ -43,13 +60,20 @@ def rasterize_mesh(
     height: int,
     chunk: int = 64,
     opaque_only: bool = False,
+    render_mode: RenderMode = RenderMode.ALBEDO,
 ):
     """Returns dict with the 5-target mesh G-buffer plus:
       depth_ndc: (H, W) window-space depth in [0,1] (1 = far/background),
         row 0 = top — the depth-prepass output consumed by splat occlusion
         culling (gaussianSplattingPrepassCS.glsl:79-91)
     opaque_only replicates DepthPrepass's baseColorFactor.a == 1 filter
-    (DepthPrepass.cpp:33)."""
+    (DepthPrepass.cpp:33).
+
+    render_mode selects the albedo-target coloring exactly like the
+    reference mesh pass (meshRenderPS.glsl:72-86): albedo / exponential
+    depth / encoded (normal-mapped) normal / per-triangle random /
+    overdraw constant — so render_split_screen compares like-for-like with
+    the splat G-buffer in every mode."""
     t = mesh.tri_pos.shape[0]
     ndc, w_clip = _project_vertices(mesh.tri_pos, camera)
 
@@ -155,6 +179,26 @@ def rasterize_mesh(
     nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
     uv = jnp.sum(tri_uv_p * bary, axis=2)
 
+    if material.has_normal:
+        # tangent-space normal mapping, meshRenderPS.glsl:43-52
+        tri_tan_p = pad_to(mesh.tri_tangent)[tri_safe]   # (H, W, 3, 4)
+        tan4 = jnp.sum(tri_tan_p * bary, axis=2)
+        t_vec = tan4[..., :3]
+        t_vec = t_vec / (jnp.linalg.norm(t_vec, axis=-1, keepdims=True) + 1e-12)
+        b_vec = jnp.cross(nrm, t_vec)
+        b_vec = b_vec / (jnp.linalg.norm(b_vec, axis=-1, keepdims=True) + 1e-12)
+        b_vec = b_vec * tan4[..., 3:4]
+        mapped = sample_bilinear(material.normal, uv)[..., :3] * 2.0 - 1.0
+        mapped = mapped / (
+            jnp.linalg.norm(mapped, axis=-1, keepdims=True) + 1e-12
+        )
+        nrm = (
+            mapped[..., 0:1] * t_vec
+            + mapped[..., 1:2] * b_vec
+            + mapped[..., 2:3] * nrm
+        )
+        nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+
     if material.has_base_color:
         albedo = sample_bilinear(material.base_color, uv)
     else:
@@ -175,11 +219,30 @@ def rasterize_mesh(
     )
     view_depth = -view[..., 2]
 
+    # per-mode output color into the albedo target (meshRenderPS.glsl:72-86)
+    enc_n = encode_normal(nrm)
+    mode = int(render_mode)
+    if mode == int(RenderMode.DEPTH):
+        expd = exponential_depth(view_depth, camera.near, camera.far)
+        out_color = jnp.repeat(expd[..., None], 3, -1)
+    elif mode == int(RenderMode.NORMAL):
+        out_color = enc_n
+    elif mode == int(RenderMode.GEOMETRY):
+        out_color = _tri_random_color(tri_safe)
+    elif mode == int(RenderMode.OVERDRAW):
+        out_color = jnp.broadcast_to(
+            jnp.asarray([0.01, 0.005, 0.0], jnp.float32), pos.shape
+        )
+    else:  # ALBEDO / PBR / FINAL
+        out_color = albedo[..., :3]
+
     gbuffer = {
-        "albedo": jnp.concatenate([albedo[..., :3], jnp.ones_like(albedo[..., :1])], -1) * hitf,
+        "albedo": jnp.concatenate(
+            [out_color, jnp.ones_like(albedo[..., :1])], -1
+        ) * hitf,
         "position": jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1) * hitf,
         "normal": jnp.concatenate(
-            [encode_normal(nrm), jnp.ones_like(pos[..., :1])], -1
+            [enc_n, jnp.ones_like(pos[..., :1])], -1
         ) * hitf,
         "depth": jnp.concatenate(
             [jnp.repeat(view_depth[..., None], 3, -1), jnp.ones_like(hitf)], -1

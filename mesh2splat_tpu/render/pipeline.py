@@ -166,7 +166,8 @@ def render_split_screen(
     cam_pos = -(camera.world_to_view[:3, :3].T @ camera.world_to_view[:3, 3])
 
     mesh_gbuf, _ = rasterize_mesh(
-        mesh, material, camera, config.width, config.height
+        mesh, material, camera, config.width, config.height,
+        render_mode=config.render_mode,
     )
     splat_gbuf = render_gbuffer(splats, camera, config)
 

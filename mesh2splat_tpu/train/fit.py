@@ -193,3 +193,73 @@ def train_step_fn(tx, width, height, std_dev=1.0, use_tiled=True, mesh=None,
         return params, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# end-to-end texture optimization (north star: "gradients flow ... through
+# conversion to source textures")
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FitTexturesConfig:
+    steps: int = 60
+    lr: float = 5e-2
+    width: int = 64
+    height: int = 64
+    use_tiled: bool = True
+
+
+def fit_textures(
+    mesh_geom,              # TriangleMesh
+    material,               # Material (base_color is the init guess)
+    conv_config,            # ConversionConfig
+    cameras: Camera,        # batched pytree (leading dim = #views)
+    targets: jax.Array,     # (V, H, W, 3)
+    config: FitTexturesConfig,
+):
+    """Optimize the SOURCE base-color texture by differentiating the full
+    mesh -> convert -> project -> rasterize -> L2 pipeline. The reference
+    cannot do this at all (forward-only GL); it is the defining new
+    capability of the differentiable conversion (BASELINE north star).
+
+    Returns (material with fitted texture, loss history)."""
+    from ..ops.conversion import convert
+
+    lo, hi = mesh_geom.bbox()
+    tex0 = material.base_color
+    tx = optax.adam(config.lr)
+    opt_state = tx.init(tex0)
+
+    def loss_fn(tex):
+        mat = dataclasses.replace(material, base_color=tex,
+                                  has_base_color=True)
+        splats = convert(mesh_geom, mat, lo, hi, conv_config)
+
+        def one(cam_tree, target):
+            img = render_rgb(
+                splats, cam_tree, config.width, config.height,
+                std_dev=conv_config.scale_multiplier,
+                splat_format=SplatFormat.MESH2SPLAT,
+                use_tiled=config.use_tiled,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        return jnp.mean(jax.vmap(one)(cameras, targets))
+
+    @jax.jit
+    def step(tex, opt_state):
+        loss, grad = jax.value_and_grad(loss_fn)(tex)
+        updates, opt_state = tx.update(grad, opt_state)
+        tex = optax.apply_updates(tex, updates)
+        tex = jnp.clip(tex, 0.0, 1.0)
+        return tex, opt_state, loss
+
+    tex = tex0
+    history = []
+    for _ in range(config.steps):
+        tex, opt_state, loss = step(tex, opt_state)
+        history.append(float(loss))
+    fitted = dataclasses.replace(material, base_color=tex,
+                                 has_base_color=True)
+    return fitted, history
