@@ -507,6 +507,7 @@ def write_glb(
     else:
         with open(path, "wb") as f:
             f.write(out)
+    return total
 
 
 def write_glb_multi(path, primitives: list[dict], node_trs: list[dict] | None = None):

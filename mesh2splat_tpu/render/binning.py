@@ -310,7 +310,12 @@ def bin_pairs(
 
     if differentiable:
         # rowid doubles as a tertiary tie-break key: equal-depth pairs keep
-        # splat-index order, matching the dense path's stable argsort
+        # concatenation order (splat-index order WITHIN class A and within
+        # class C; a class-C pair always ties after every class-A pair,
+        # which can differ from the dense path's global stable argsort on
+        # exact f32 depth ties — negligible, and an extra owner key would
+        # cost ~2.6 ms/3.5M rows). The non-differentiable branch has no
+        # rowid and relies on lax.sort's default stability instead.
         rowid = jnp.arange(rows, dtype=jnp.int32)
         out = _sort_carry(3, tile_rows, depth_rows, rowid, *carried)
         sorted_vals = out[3:]

@@ -25,9 +25,13 @@ of the VPU wherever it has matmul structure, which is most of it:
     (d mean, d conic) is a linear combination of the moments
     sum_px gp * [1, x, y, x^2, xy, y^2].
 
-All matmuls run at Precision.HIGHEST (full f32 via MXU passes); the
-remaining VPU work per chunk is ~a dozen elementwise passes (exp, log,
-masks) instead of round-1's ~40.
+All matmuls default to Precision.HIGHEST (full f32 accuracy via MXU
+passes) because the quadratic pixel basis has terms up to ~1.6e4 that
+cancel, and the |u|,|v| <= 1 quad-coverage test is a hard threshold: any
+lower-precision evaluation (e.g. the bf16x3 compensated decomposition,
+selectable via MS_COMP_PRECISION=high for profiling only) flips coverage
+decisions and breaks tiled-vs-dense equivalence. The remaining VPU work
+per chunk is ~a dozen elementwise passes (exp, log, masks).
 
 Pair data arrives field-major — an (F_pad, P) f32 buffer (binning.py), so a
 chunk of 128 pairs is ONE lane-aligned (F_pad, 128) DMA. Tile ranges are
@@ -86,14 +90,29 @@ G_GROUP = (4, 5, 6, 7, 12, 13)
 CH_TA, CH_TG = 14, 15
 
 _MIN_T = 1.0 / 255.0
-_MIN_LOG_T = -5.545177  # log(1/255)
+_MIN_LOG_T = -5.541264  # log(1/255), matching _MIN_T
 
-# kernel tuning knobs (see scripts/profile_composite_variants.py)
+# kernel tuning knobs (see scripts/profile.py). These are PROFILING-ONLY
+# overrides: any value other than the defaults below breaks the
+# tiled-vs-dense equivalence guarantee (MS_COMP_PRECISION != "highest"
+# flips quad-coverage decisions; MS_COMP_SCAN=0 drops within-chunk depth
+# ordering entirely). Unknown values raise instead of silently degrading.
 import os as _os
 
-_PREC_NAME = _os.environ.get("MS_COMP_PRECISION", "high")
-_EVAL_MXU = _os.environ.get("MS_COMP_EVAL", "mxu") == "mxu"
-_SCAN_ON = _os.environ.get("MS_COMP_SCAN", "1") == "1"
+_PREC_NAME = _os.environ.get("MS_COMP_PRECISION", "highest")
+if _PREC_NAME not in ("highest", "default", "high"):
+    raise ValueError(
+        f"MS_COMP_PRECISION={_PREC_NAME!r}: must be 'highest' (default, "
+        "correct), 'default', or 'high' (bf16x3; profiling only)"
+    )
+_EVAL_NAME = _os.environ.get("MS_COMP_EVAL", "mxu")
+if _EVAL_NAME not in ("mxu", "vpu"):
+    raise ValueError(f"MS_COMP_EVAL={_EVAL_NAME!r}: must be 'mxu' or 'vpu'")
+_EVAL_MXU = _EVAL_NAME == "mxu"
+_SCAN_NAME = _os.environ.get("MS_COMP_SCAN", "1")
+if _SCAN_NAME not in ("0", "1"):
+    raise ValueError(f"MS_COMP_SCAN={_SCAN_NAME!r}: must be '0' or '1'")
+_SCAN_ON = _SCAN_NAME == "1"
 
 
 def _dot_raw(a, b, precision):
