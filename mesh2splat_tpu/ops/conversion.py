@@ -16,9 +16,9 @@ TPU-native reformulation (no rasterizer, no atomics, static shapes):
      of the reference's min(res^2*6*meshes, 7M) cap, ConversionPass.cpp:20-24).
   3. A scatter(+cummax) decodes each slot back to its (triangle, texel) pair —
      a segment-id trick that replaces ``atomicCounterIncrement``.
-  4. vmap per-slot: point-in-triangle coverage test at the texel center in
-     ortho-UV space, barycentric attribute interpolation, bilinear PBR texture
-     sampling, TBN normal mapping — the whole fragment shader, as a gather.
+  4. The fragment shader itself — coverage at the texel center, barycentric
+     interpolation, bilinear PBR sampling, TBN normal mapping — runs as two
+     fused Pallas kernels around one fast-tier texture gather (ops.fragment).
 
 Every op here is dense, statically shaped, and differentiable (gradients flow
 through barycentrics and texture samples back to vertex data and textures).
@@ -33,57 +33,44 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Material, Splats, TriangleMesh
-from . import segments
-from .sampling import (
-    build_block_atlas,
-    build_tap_atlas,
-    sample_bilinear_atlas,
-    sample_bilinear_block_atlas,
-)
+from . import fragment, segments
 from .triplanar import triangle_conversion_attrs
 
 
-def _sample(tex, uv):
-    """Bilinear sample via a tap atlas: one gather per texture instead of
-    four (see sampling.build_tap_atlas). (A 4x4-blocked atlas with one-hot
-    window selection was tried to reach the small-table gather tier and
-    measured ~2x SLOWER end-to-end — the window contraction does not stay
-    register-resident; see sampling.build_block_atlas.)"""
-    h, w, c = tex.shape
-    return sample_bilinear_atlas(build_tap_atlas(tex), h, w, c, uv)
-
-
-def _fused_texture_stack(material: Material):
-    """Stack every present texture into one (H, W, 10) array so the whole
-    fragment-shader sampling step is ONE tap-atlas gather (gather cost on TPU
-    is ~12 ms per million indices and flat in row width, so 3 gathers -> 1 is
-    a 3x win). Channels: base_color rgba | normal xyz | metallic-roughness bgr's
-    (b, g used). Returns None when no texture is present or sizes differ."""
-    texs = []
-    if material.has_base_color:
-        texs.append(material.base_color)
-    if material.has_normal:
-        texs.append(material.normal)
-    if material.has_metallic_roughness:
-        texs.append(material.metallic_roughness)
-    if not texs:
+def _material_stack(material: Material):
+    """Stack the material's present textures into one (1, H, W, 10) layer:
+    base_color rgba | normal xyz | metallic-roughness rgb. Absent types get
+    neutral fills (only consumed when another material in a packed scene has
+    that type). Textures of differing sizes are bilinearly resized to the
+    largest (deviation from the reference, which samples each at native
+    resolution; the reference resizes only at load, parsers.cpp:38-48).
+    Returns None when the material has no texture at all."""
+    if not (material.has_base_color or material.has_normal
+            or material.has_metallic_roughness):
         return None
-    hw = texs[0].shape[:2]
-    if any(t.shape[:2] != hw for t in texs):
-        return None
-    h, w = hw
-    parts = [
-        material.base_color
-        if material.has_base_color
-        else jnp.ones((h, w, 4), jnp.float32),
-        material.normal
-        if material.has_normal
-        else jnp.zeros((h, w, 3), jnp.float32),
-        material.metallic_roughness
-        if material.has_metallic_roughness
-        else jnp.zeros((h, w, 3), jnp.float32),
-    ]
-    return jnp.concatenate(parts, axis=-1)
+    hs, ws = [], []
+    for tex, has in (
+        (material.base_color, material.has_base_color),
+        (material.normal, material.has_normal),
+        (material.metallic_roughness, material.has_metallic_roughness),
+    ):
+        if has:
+            hs.append(tex.shape[0])
+            ws.append(tex.shape[1])
+    h, w = max(hs), max(ws)
+
+    def fit(tex, has, c, fill):
+        if not has:
+            return jnp.broadcast_to(jnp.asarray(fill, jnp.float32), (h, w, c))
+        if tex.shape[:2] != (h, w):
+            tex = jax.image.resize(tex, (h, w, c), "linear")
+        return tex
+
+    base = fit(material.base_color, material.has_base_color, 4, [1.0] * 4)
+    nrm = fit(material.normal, material.has_normal, 3, [0.5, 0.5, 1.0])
+    mrt = fit(material.metallic_roughness, material.has_metallic_roughness,
+              3, [0.0, 0.5, 0.1])
+    return jnp.concatenate([base, nrm, mrt], axis=-1)[None]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +100,11 @@ class ConversionConfig:
     # scanline allocator (0 => same as capacity, a safe upper bound since
     # every allocated row claims >= 1 texel slot).
     row_capacity_override: int = 0
+    # Record-window width for the fragment kernel's in-kernel record DMA
+    # (ops.fragment): must bound the triangle span of any CHUNK-slot chunk.
+    # 0 = use the per-slot XLA gather instead (always correct; ~4 ms slower
+    # at 1.5M slots). calibrate() measures the exact bound.
+    rec_window: int = 0
 
     @property
     def capacity(self) -> int:
@@ -231,36 +223,6 @@ def _row_span(ouv6, tx0, tw, y, res):
     return c0, c1, xlo <= xhi
 
 
-def _material_sampler(material: Material):
-    """Per-splat texture sampler for a single material, honoring the
-    reference's static has_* uniform flags (converterFS.glsl:15-17).
-    Returns (albedo_rgba | None, normal_map_sample | None, mr | None);
-    albedo already includes u_materialFactor."""
-    stack = _fused_texture_stack(material)
-
-    def sampler(uv, _extra):
-        if stack is not None:
-            taps = jax.lax.optimization_barrier(_sample(stack, uv))
-            s_albedo = taps[..., 0:4]
-            s_normal = taps[..., 4:7]
-            s_mr = taps[..., 7:10]
-        else:
-            s_albedo = s_normal = s_mr = None
-        albedo = None
-        if material.has_base_color:
-            a = s_albedo if s_albedo is not None else _sample(material.base_color, uv)
-            albedo = a * material.base_color_factor
-        n_ts = None
-        if material.has_normal:
-            n_ts = s_normal if s_normal is not None else _sample(material.normal, uv)
-        mr = None
-        if material.has_metallic_roughness:
-            mr = s_mr if s_mr is not None else _sample(material.metallic_roughness, uv)
-        return albedo, n_ts, mr
-
-    return sampler, material.base_color_factor, None
-
-
 @partial(jax.jit, static_argnames=("config",))
 def convert(
     mesh: TriangleMesh,
@@ -276,9 +238,14 @@ def convert(
     (reference: ConversionPass.cpp:111-112 binds mesh.bbox).
     ortho_uv: optional (T, 3, 2) custom conversion UVs (see
     ops.uv_unwrap.unwrap_normalized_uvs)."""
-    sampler, fallback_factor, extra = _material_sampler(material)
     return _convert_core(
-        mesh, bbox_min, bbox_max, config, sampler, fallback_factor, extra,
+        mesh, bbox_min, bbox_max, config,
+        stack=_material_stack(material),
+        mids=None,
+        factors=material.base_color_factor[None],
+        has_base=material.has_base_color,
+        has_normal=material.has_normal,
+        has_mr=material.has_metallic_roughness,
         ortho_uv=ortho_uv,
     )
 
@@ -288,11 +255,31 @@ def _convert_core(
     bbox_min: jax.Array,        # (3,) or (T, 3) per-triangle
     bbox_max: jax.Array,
     config: ConversionConfig,
-    sampler,                    # (uv (cap,2), extra_cols (cap,K)) -> (albedo, n_ts, mr)
-    fallback_factor,            # (4,) or (cap, 4) color when albedo is None
-    extra_record,               # (T, K) float columns to ride the record | None
+    stack,                      # (M, H, W, 10) texture stack | None
+    mids,                       # (T,) int32 material id per triangle | None
+    factors,                    # (M, 4) base-color factors
+    has_base: bool,
+    has_normal: bool,
+    has_mr: bool,
     ortho_uv=None,              # (T, 3, 2) custom conversion UVs | None
 ) -> Splats:
+    res = config.resolution
+    cap = config.capacity
+    ex = _expand_slots(mesh, bbox_min, bbox_max, config, ortho_uv)
+    attrs, ouv, geo = ex["attrs"], ex["ouv"], ex["geo"]
+    tri_id_safe, s_row_local = ex["tri_id_safe"], ex["s_row_local"]
+    local, in_budget, t = ex["local"], ex["in_budget"], ex["t"]
+    return _finish_convert(
+        mesh, config, stack, mids, factors, has_base, has_normal, has_mr,
+        attrs, ouv, geo, tri_id_safe, s_row_local, local, in_budget, t,
+        ex["local_in_kernel"],
+    )
+
+
+def _expand_slots(mesh, bbox_min, bbox_max, config, ortho_uv=None):
+    """Stages 1-3: per-triangle attributes, scanline row expansion, and
+    row -> texel-slot expansion. Returns the per-slot decode shared by
+    _convert_core and the calibration helpers."""
     res = config.resolution
     cap = config.capacity
     row_cap = config.row_capacity
@@ -360,7 +347,18 @@ def _convert_core(
     # which is cheap VPU math. Falls back to the generic last-set scan for
     # meshes too large to pack.
     offsets, total = segments.alloc_slots(width, cap)
-    if t * 4096 < 2**31:
+    local_in_kernel = fragment._is_tpu() and t * 4096 < 2**31
+    if local_in_kernel:
+        # the fragment kernels compute `local` in-kernel (_local_scan), so
+        # only the packed-value fill runs — half the scatter+cummax cost
+        packed = segments.fill_value(
+            offsets, width, cap, row_tri * 4096 + row_local
+        )
+        packed = jnp.maximum(packed, 0)
+        tri_id_safe = packed >> 12
+        s_row_local = packed & 4095
+        local = jnp.zeros((cap,), jnp.int32)
+    elif t * 4096 < 2**31:
         local, _, packed = segments.expand_monotone(
             offsets, width, cap, value=row_tri * 4096 + row_local
         )
@@ -373,159 +371,86 @@ def _convert_core(
         )
         tri_id_safe = jnp.maximum(ex[0], 0)
         s_row_local = jnp.maximum(ex[1], 0)
+        local_in_kernel = False
     in_budget = jnp.arange(cap, dtype=jnp.int32) < total
-
-    # ---- stage 4: the fragment shader as ONE record gather ---------------
-    # TPU gathers cost ~12 ms per million rows and are flat in row width, so
-    # all per-triangle data rides a single packed 52-float record.
-    parts = [
-        mesh.tri_pos.reshape(t, 9),
-        mesh.tri_normal.reshape(t, 9),
-        mesh.tri_tangent.reshape(t, 12),
-        mesh.tri_uv.reshape(t, 6),
-        ouv.reshape(t, 6),
-        attrs["quat"],
-        attrs["scale"],
-        geo[:, 6:9],
-    ]
-    if extra_record is not None:
-        parts.append(extra_record)
-    record = jnp.concatenate(parts, axis=-1)  # (T, 52 + K)
-    # Materialize the gather exactly once: without the barrier XLA fuses
-    # it into each consumer fusion and re-executes the ~12ns/row gather
-    # several times (measured 3x cost at 1.5M slots).
-    rec = jax.lax.optimization_barrier(record[tri_id_safe])  # (cap, 52)
-
-    # ---- per-slot math, all in 1-D columns --------------------------------
-    # (cap, 3, k) intermediates and cross/norm on (cap, 3) arrays tile to
-    # (8, 128) lanes on TPU — up to 42x padded traffic when materialized —
-    # so every step below stays on flat (cap,) columns.
-    col = lambda i: rec[:, i]
-
-    # re-derive the slot's texel coordinates from the record (identical
-    # arithmetic to the per-row pass above => identical f32 results)
-    s_tx0 = col(49).astype(jnp.int32)
-    s_tw = col(51).astype(jnp.int32)
-    tj = col(50).astype(jnp.int32) + s_row_local
-    y_s = (tj.astype(jnp.float32) + 0.5) / res
-    sc0, _, _ = _row_span(rec[:, 36:42], s_tx0, s_tw, y_s, res)
-    ti = sc0 + local
-    pu = (ti.astype(jnp.float32) + 0.5) / res
-    pv = y_s
-
-    au, av = col(36), col(37)
-    bu, bv = col(38), col(39)
-    cu, cv = col(40), col(41)
-
-    # barycentrics (column form of _barycentric)
-    v0u, v0v = bu - au, bv - av
-    v1u, v1v = cu - au, cv - av
-    v2u, v2v = pu - au, pv - av
-    den = v0u * v1v - v1u * v0v
-    safe = jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
-    wb = (v2u * v1v - v1u * v2v) / safe
-    wc = (v0u * v2v - v2u * v0v) / safe
-    wa = 1.0 - wb - wc
-
-    # coverage with the top-left fill rule (column form of _coverage_top_left)
-    s_sign = jnp.sign(den)
-
-    def edge_w(p0u, p0v, p1u, p1v):
-        return ((p1u - p0u) * (pv - p0v) - (p1v - p0v) * (pu - p0u)) * s_sign
-
-    def top_left(p0u, p0v, p1u, p1v):
-        du = (p1u - p0u) * s_sign
-        dv = (p1v - p0v) * s_sign
-        return jnp.logical_or(
-            dv < 0, jnp.logical_and(dv == 0, du < 0)
-        )
-
-    def accept(wq, tl):
-        return jnp.logical_or(wq > 0, jnp.logical_and(wq == 0, tl))
-
-    inside = jnp.logical_and(
-        jnp.logical_and(
-            accept(edge_w(au, av, bu, bv), top_left(au, av, bu, bv)),
-            accept(edge_w(bu, bv, cu, cv), top_left(bu, bv, cu, cv)),
-        ),
-        jnp.logical_and(
-            accept(edge_w(cu, cv, au, av), top_left(cu, cv, au, av)),
-            jnp.abs(den) > 1e-20,
-        ),
+    return dict(
+        attrs=attrs, ouv=ouv, geo=geo, tri_id_safe=tri_id_safe,
+        s_row_local=s_row_local, local=local, in_budget=in_budget,
+        total=total, t=t, local_in_kernel=local_in_kernel,
     )
-    valid = jnp.logical_and(in_budget, inside)
 
-    # barycentric interpolation, componentwise
-    def lerp3(i0, i1, i2):
-        return col(i0) * wa + col(i1) * wb + col(i2) * wc
 
-    px, py, pz = lerp3(0, 3, 6), lerp3(1, 4, 7), lerp3(2, 5, 8)
-    nx, ny, nz = lerp3(9, 12, 15), lerp3(10, 13, 16), lerp3(11, 14, 17)
-    tx_, ty_, tz_, tw_ = (
-        lerp3(18, 22, 26), lerp3(19, 23, 27), lerp3(20, 24, 28),
-        lerp3(21, 25, 29),
-    )
-    uu, vv = lerp3(30, 32, 34), lerp3(31, 33, 35)
-    uv = jnp.stack([uu, vv], axis=-1)
+def _finish_convert(
+    mesh, config, stack, mids, factors, has_base, has_normal, has_mr,
+    attrs, ouv, geo, tri_id_safe, s_row_local, local, in_budget, t,
+    local_in_kernel=False,
+) -> Splats:
+    # ---- stage 4: the fused fragment kernel (ops.fragment) ---------------
+    # All per-triangle data rides a single field-major record; the per-slot
+    # records arrive either via in-kernel window DMA (rec_window > 0) or one
+    # fast-tier (~1.4 ns/idx at 20k rows) XLA gather.
+    res = config.resolution
+    cap = config.capacity
+    if mids is None:
+        mids = jnp.zeros((t,), jnp.int32)
+    fac_t = factors[mids]  # (T, 4)
+    record = jnp.concatenate(
+        [
+            ouv.reshape(t, 6),                       # au..cv       (0-5)
+            geo[:, 6:9],                             # tx0 ty0 tw   (6-8)
+            mesh.tri_uv.reshape(t, 6),               # ua..vc       (9-14)
+            mids[:, None].astype(jnp.float32),       # mid          (15)
+            mesh.tri_pos.reshape(t, 9),              # (16-24)
+            mesh.tri_normal.reshape(t, 9),           # (25-33)
+            mesh.tri_tangent.reshape(t, 12),         # (34-45)
+            attrs["quat"],                           # (46-49)
+            attrs["scale"],                          # (50-52)
+            fac_t,                                   # (53-56)
+            jnp.zeros((t, fragment.REC_W - 57), jnp.float32),
+        ],
+        axis=-1,
+    )  # (T, REC_W)
+    # Non-finite fields (degenerate/NaN triangles — they own no slots) must
+    # not reach the kernel's one-hot matmul: 0 * NaN = NaN leaks across the
+    # select. Zero them; their slots don't exist, dead slots are masked.
+    record = jnp.where(jnp.isfinite(record), record, 0.0)
+    # Pad the transposed table so an aligned window DMA at the last chunk
+    # stays in bounds (fragment._window_bases aligns bases down by 128).
+    w_rec = config.rec_window
+    t_pad = -(-(t + w_rec + 128) // 128) * 128
+    records = jnp.pad(jnp.transpose(record), ((0, 0), (0, t_pad - t)))
+    metaT = jnp.stack(
+        [tri_id_safe, s_row_local, local, in_budget.astype(jnp.int32)]
+    ).astype(jnp.float32)  # (4, cap)
 
-    # ---- texture sampling via the provided sampler -------------------------
-    extra_cols = rec[:, 52:] if extra_record is not None else None
-    albedo, n_ts_map, mr = sampler(uv, extra_cols)
-
-    # albedo (converterFS.glsl:55-62) x u_materialFactor (:99)
-    if albedo is not None:
-        color = albedo
-    else:
-        color = jnp.broadcast_to(fallback_factor, (cap, 4))
-
-    # normal map via TBN (converterFS.glsl:68-81), columnwise
-    if n_ts_map is not None:
-        mx, my, mz = (
-            n_ts_map[..., 0] * 2.0 - 1.0,
-            n_ts_map[..., 1] * 2.0 - 1.0,
-            n_ts_map[..., 2] * 2.0 - 1.0,
+    has_stack = stack is not None
+    if has_stack:
+        m, th, tw_tex, _ = stack.shape
+        k = fragment.pack_factor(m * th * tw_tex)
+        atlasT, hw_pad = fragment.build_pair_atlas(stack, k)
+        rows_idx = fragment.texel_rows(
+            records, metaT, res=res, tex_h=th, tex_w=tw_tex, hw_pad=hw_pad,
+            k=k, n_rows=atlasT.shape[1], w_rec=w_rec,
+            local_in_kernel=local_in_kernel,
         )
-        rinv = jax.lax.rsqrt(mx * mx + my * my + mz * mz + 1e-24)
-        mx, my, mz = mx * rinv, my * rinv, mz * rinv
-        rinv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-24)
-        ux, uy, uz = nx * rinv, ny * rinv, nz * rinv  # unit normal
-        # bitangent = normalize(cross(n_unit, tangent.xyz)) * tangent.w
-        bx = uy * tz_ - uz * ty_
-        by = uz * tx_ - ux * tz_
-        bz = ux * ty_ - uy * tx_
-        rinv = jax.lax.rsqrt(bx * bx + by * by + bz * bz + 1e-24)
-        bx, by, bz = bx * rinv * tw_, by * rinv * tw_, bz * rinv * tw_
-        # TBN columns (tangent, bitangent, normal)
-        ox = tx_ * mx + bx * my + ux * mz
-        oy = ty_ * mx + by * my + uy * mz
-        oz = tz_ * mx + bz * my + uz * mz
-        rinv = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz + 1e-24)
-        ox, oy, oz = ox * rinv, oy * rinv, oz * rinv
+        tapsT = atlasT[:, rows_idx]  # (k*4*10, cap)
     else:
-        ox, oy, oz = nx, ny, nz
+        th = tw_tex = hw_pad = k = 1
+        tapsT = jnp.zeros((1, cap), jnp.float32)
 
-    # metallic-roughness: map .b = metallic, .g = roughness, defaults
-    # (0.1, 0.5) when absent (converterFS.glsl:87-95)
-    if mr is not None:
-        pbr = jnp.stack([mr[..., 2], mr[..., 1]], axis=-1)
-    else:
-        pbr = jnp.broadcast_to(
-            jnp.asarray([0.1, 0.5], jnp.float32), (cap, 2)
-        )
-
-    pos = jnp.stack([px, py, pz], axis=-1)
-    out_normal = jnp.stack([ox, oy, oz], axis=-1)
-    quat = rec[:, 42:46]
-    scale = rec[:, 46:49]
+    outT, _ = fragment.fragment_apply(
+        records, tapsT, metaT, res, th, tw_tex, hw_pad, k,
+        has_base, has_normal, has_mr, w_rec, local_in_kernel,
+    )  # (OUT_W, cap); narrow (cap, k).T views below are layout relabels
 
     return Splats(
-        pos=pos,
-        color=color,
-        scale=scale,
-        normal=out_normal,
-        quat=quat,
-        pbr=pbr,
-        valid=valid,
+        pos=outT[0:3].T,
+        color=outT[3:7].T,
+        scale=outT[7:10].T,
+        normal=outT[10:13].T,
+        quat=outT[13:17].T,
+        pbr=outT[17:19].T,
+        valid=outT[19] > 0.0,
     )
 
 
@@ -603,6 +528,29 @@ def required_slots(
     return jnp.sum(width)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def required_rec_window(
+    mesh: TriangleMesh,
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    config: ConversionConfig,
+) -> jax.Array:
+    """Exact bound on the triangle span of any fragment-kernel slot chunk:
+    the minimal ``rec_window`` for the in-kernel record-DMA path (ops.
+    fragment). Uses the same expansion as convert, so the bound is tight."""
+    if bbox_min.ndim == 2:
+        bbox_min, bbox_max = bbox_min[:, None, :], bbox_max[:, None, :]
+    ex = _expand_slots(mesh, bbox_min, bbox_max, config)
+    tri = ex["tri_id_safe"]
+    cap = tri.shape[0]
+    grid = -(-cap // fragment.CHUNK)
+    pad = grid * fragment.CHUNK - cap
+    tri_pad = jnp.concatenate(
+        [tri, jnp.broadcast_to(tri[-1:], (pad,))]
+    ).reshape(grid, fragment.CHUNK)
+    return jnp.max(tri_pad[:, -1] - tri_pad[:, 0]) + 1
+
+
 def calibrate(
     mesh: TriangleMesh,
     bbox_min,
@@ -614,7 +562,11 @@ def calibrate(
     (rounded up for layout friendliness, capped at res^2*layers). Conversion
     with the calibrated config produces the identical splat set at
     proportionally lower cost — the TPU analogue of the reference paying only
-    for live fragments via atomic appends (ConversionPass.cpp:20-33)."""
+    for live fragments via atomic appends (ConversionPass.cpp:20-33).
+
+    Also measures the fragment kernel's record-window bound (rec_window):
+    meshes whose slot chunks span <= 1024 triangles take the in-kernel
+    window-DMA path; others keep the per-slot gather."""
     hard_cap = config.resolution * config.resolution * config.layers
 
     def round_up(n):
@@ -623,38 +575,29 @@ def calibrate(
     rows = round_up(required_rows(mesh, bbox_min, bbox_max, config))
     cfg_rows = dataclasses.replace(config, row_capacity_override=rows)
     cap = round_up(required_slots(mesh, bbox_min, bbox_max, cfg_rows))
-    return dataclasses.replace(
+    cfg = dataclasses.replace(
         cfg_rows, capacity_override=max(cap, 1 * round_to)
+    )
+    span = int(required_rec_window(mesh, bbox_min, bbox_max, cfg))
+    w_rec = -(-span // 32) * 32
+    return dataclasses.replace(
+        cfg, rec_window=w_rec if w_rec <= 1024 else 0
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "has_stack", "any_normal", "any_mr"),
+    static_argnames=("config", "any_base", "any_normal", "any_mr"),
 )
 def _convert_packed_impl(
-    merged, bb_lo, bb_hi, extra_record, stack, config,
-    has_stack, any_normal, any_mr,
+    merged, bb_lo, bb_hi, mids, factors, stack, config,
+    any_base, any_normal, any_mr,
 ):
-    from .sampling import build_tap_atlas_layered, sample_bilinear_atlas_layered
-
-    def sampler(uv, extra_cols):
-        if not has_stack:
-            return extra_cols[:, 1:5], None, None
-        mid = extra_cols[:, 0].astype(jnp.int32)
-        m, h, w, c = stack.shape
-        atlas = build_tap_atlas_layered(stack)
-        taps = jax.lax.optimization_barrier(
-            sample_bilinear_atlas_layered(atlas, h, w, c, uv, mid)
-        )
-        albedo = taps[..., 0:4]
-        n_ts = taps[..., 4:7] if any_normal else None
-        mr = taps[..., 7:10] if any_mr else None
-        return albedo, n_ts, mr
-
     return _convert_core(
-        merged, bb_lo, bb_hi, config, sampler,
-        jnp.ones((4,), jnp.float32), extra_record,
+        merged, bb_lo, bb_hi, config,
+        stack=stack if (any_base or any_normal or any_mr) else None,
+        mids=mids, factors=factors,
+        has_base=any_base, has_normal=any_normal, has_mr=any_mr,
     )
 
 
@@ -669,21 +612,18 @@ def convert_packed(
     every primitive into one triangle soup with a per-triangle material id
     and bbox, and texture sampling stays ONE gather via a layered tap atlas.
 
-    Deviations (documented): per-material base_color factors are folded into
-    the texture layers (bit-identical); materials lacking a normal map in a
-    scene where any material has one get a flat (0.5, 0.5, 1) layer, which
-    yields the *normalized* geometric normal instead of the raw interpolated
-    one; textures of differing sizes are bilinearly resized to the largest
-    (the reference likewise resizes at load, parsers.cpp:38-48).
+    Deviations (documented): materials lacking a normal map in a scene where
+    any material has one get a flat (0.5, 0.5, 1) layer, which yields the
+    *normalized* geometric normal instead of the raw interpolated one;
+    textures of differing sizes are bilinearly resized to the largest (the
+    reference likewise resizes at load, parsers.cpp:38-48).
     """
     import numpy as np
 
     meshes = [m for m, _ in primitives]
     mats = [mt for _, mt in primitives]
     counts = [int(m.tri_pos.shape[0]) for m in meshes]
-    mid_host = np.repeat(
-        np.arange(len(meshes), dtype=np.float32), counts
-    )[:, None]
+    mid_host = np.repeat(np.arange(len(meshes), dtype=np.int32), counts)
 
     merged = TriangleMesh(
         tri_pos=jnp.concatenate([m.tri_pos for m in meshes]),
@@ -711,10 +651,7 @@ def convert_packed(
     has_stack = any_base or any_normal or any_mr
 
     factors = jnp.stack([mt.base_color_factor for mt in mats])  # (M, 4)
-    extra_record = jnp.concatenate(
-        [jnp.asarray(mid_host), factors[jnp.asarray(mid_host[:, 0], jnp.int32)]],
-        axis=-1,
-    )  # (T, 5): material id + folded factor fallback
+    mids = jnp.asarray(mid_host)
 
     if has_stack:
         hs = [mt.base_color.shape[0] for mt in mats if mt.has_base_color]
@@ -738,7 +675,6 @@ def convert_packed(
         for mt in mats:
             base = fit(mt.base_color if mt.has_base_color else None, 4,
                        [1.0, 1.0, 1.0, 1.0])
-            base = base * mt.base_color_factor  # fold the factor in
             nrm = fit(mt.normal if mt.has_normal else None, 3,
                       [0.5, 0.5, 1.0])
             mrt = fit(
@@ -754,8 +690,8 @@ def convert_packed(
         config = calibrate(merged, bb_lo, bb_hi, config)
 
     return _convert_packed_impl(
-        merged, bb_lo, bb_hi, extra_record, stack, config,
-        has_stack, any_normal, any_mr,
+        merged, bb_lo, bb_hi, mids, factors, stack, config,
+        any_base, any_normal, any_mr,
     )
 
 

@@ -109,6 +109,18 @@ def expand_monotone(offsets, counts, capacity, value=None):
     return local, started, fill(value)
 
 
+def fill_value(offsets, counts, capacity, value):
+    """The value half of expand_monotone: forward-fill ``value`` (must be
+    non-decreasing across producers with counts > 0) over each producer's
+    slots. Used by conversion's TPU path, which computes ``local`` inside
+    the fragment kernel (fragment._local_scan) and so skips the seg-start
+    fill entirely (~3 ms at 1.5M slots)."""
+    starts = jnp.where(counts > 0, offsets, capacity)
+    idx = jnp.clip(starts, 0, capacity)
+    marks = jnp.zeros((capacity + 1,), jnp.int32).at[idx].max(value + 1)
+    return jax.lax.cummax(marks[:capacity]) - 1
+
+
 def segment_starts(sorted_keys: jax.Array, num_segments: int) -> jax.Array:
     """Given sorted integer keys (P,), return (num_segments + 1,) start
     offsets so segment k spans [starts[k], starts[k+1]). Keys >= num_segments
