@@ -111,6 +111,7 @@ class BinnedPairs:
     fields: jax.Array       # (F_pad, P_cap) f32, sorted by (tile, depth rank)
     tile_starts: jax.Array  # (num_tiles + 1,) int32
     num_pairs: jax.Array    # scalar int32 (live pairs)
+    dropped_pairs: jax.Array  # scalar int32: class-C pairs lost to the budget
 
     @property
     def capacity(self):
@@ -243,6 +244,12 @@ def bin_pairs(
     n = proj.capacity
     ty, tx = tiles_for(width, height)
     num_tiles = ty * tx
+    # static bit budget of packed_geom below: tx0 7 bits, ty0 11, sx 7
+    if tx > 127 or ty > 2047:
+        raise ValueError(
+            f"image {width}x{height} exceeds the binner's packed-geometry "
+            f"budget ({127 * TILE_W}x{2047 * TILE_H} max); widen packed_geom"
+        )
     if not c_capacity:
         c_capacity = default_c_capacity(n)
 
@@ -258,16 +265,22 @@ def bin_pairs(
     nf = len(vals)
 
     # ---- class A: fixed-slot broadcast (no expansion machinery) ----------
+    # Slot-major (K_SLOTS, N) layout: flattening is K contiguous copies of
+    # each (N,) column — 1-D, no lane padding. (The round-2 (N, K_SLOTS)
+    # layout materialized every broadcast at T(8,128) with 128/K_SLOTS lane
+    # padding: ~1.2 ms x 12 columns of pure waste at 1.5M splats.) Pair
+    # order within equal (tile, depth) changes from (splat, slot) to
+    # (slot, splat) — exact-f32-depth ties only, same caveat as class C.
     is_a = valid & (pairs_n <= K_SLOTS)
     j = jnp.arange(K_SLOTS, dtype=jnp.int32)
-    dy_a = j[None, :] // sx[:, None]
-    dx_a = j[None, :] - dy_a * sx[:, None]
-    live_a = is_a[:, None] & (j[None, :] < pairs_n[:, None])
-    tile_a = ((ty0[:, None] + dy_a) * tx + tx0[:, None] + dx_a).reshape(-1)
+    dy_a = j[:, None] // sx[None, :]
+    dx_a = j[:, None] - dy_a * sx[None, :]
+    live_a = is_a[None, :] & (j[:, None] < pairs_n[None, :])
+    tile_a = ((ty0[None, :] + dy_a) * tx + tx0[None, :] + dx_a).reshape(-1)
     live_a = live_a.reshape(-1)
 
     def bcast(col):
-        return jnp.broadcast_to(col[:, None], (n, K_SLOTS)).reshape(-1)
+        return jnp.broadcast_to(col[None, :], (K_SLOTS, n)).reshape(-1)
 
     depth_a = bcast(depth)
     vals_a = [bcast(c) for c in vals]
@@ -275,17 +288,26 @@ def bin_pairs(
     # ---- class C: exact budgeted expansion for wide-span splats ----------
     counts_c = jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0)
     off_c, tot_c = segments.alloc_slots(counts_c, c_capacity)
-    local_c, _, owner_c = segments.expand_monotone(
-        off_c, counts_c, c_capacity, value=jnp.arange(n, dtype=jnp.int32)
+    # ONE owner fill (scatter+cummax cost scales with the 1.5M producer
+    # starts, ~14 ms each at this size — so fill once and recover `local`
+    # from a narrow per-owner gather of the segment offsets instead of a
+    # second fill)
+    owner_c = segments.fill_value(
+        off_c, counts_c, c_capacity, jnp.arange(n, dtype=jnp.int32)
     )
     owner_c = jnp.maximum(owner_c, 0)
     live_c = jnp.arange(c_capacity, dtype=jnp.int32) < tot_c
-    # one narrow int gather for the per-owner tile geometry
-    packed_geom = tx0 | (ty0 << 6) | (jnp.minimum(sx, 63) << 16)
-    tc = jax.lax.optimization_barrier(packed_geom[owner_c])  # (C,)
-    tx0_c = tc & 63
-    ty0_c = (tc >> 6) & 1023
-    sx_c = jnp.maximum((tc >> 16) & 63, 1)
+    # one gather for segment offset + packed tile geometry per pair
+    # (tx0 <= tx-1 <= 126 in 7 bits, ty0 in 11, sx <= tx <= 127 in 7 —
+    # guaranteed by the static guard above, so no silent clamping)
+    packed_geom = tx0 | (ty0 << 7) | (sx << 18)
+    geom2 = jnp.stack([off_c, packed_geom], axis=1)  # (N, 2) int32
+    gc = jax.lax.optimization_barrier(geom2[owner_c])  # (C, 2)
+    local_c = jnp.arange(c_capacity, dtype=jnp.int32) - gc[:, 0]
+    tc = gc[:, 1]
+    tx0_c = tc & 127
+    ty0_c = (tc >> 7) & 2047
+    sx_c = jnp.maximum((tc >> 18) & 127, 1)
     dy_c = local_c // sx_c
     dx_c = local_c - dy_c * sx_c
     tile_c = (ty0_c + dy_c) * tx + tx0_c + dx_c
@@ -333,10 +355,16 @@ def bin_pairs(
     pad = [jnp.zeros((rows,), jnp.float32)] * (f_pad - nf)
     fields = jnp.stack(list(sorted_vals) + pad)  # (F_pad, rows)
 
+    # class-C pairs beyond the budget are DROPPED — surface the count so
+    # callers (tests, bench, pipelines) can assert/log instead of silently
+    # rendering holes (round-2 weak point #3)
+    dropped = jnp.maximum(jnp.sum(counts_c) - c_capacity, 0)
+
     return BinnedPairs(
         fields=fields,
         tile_starts=tile_starts,
         num_pairs=tile_starts[num_tiles],
+        dropped_pairs=dropped,
     )
 
 

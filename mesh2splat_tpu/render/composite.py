@@ -159,6 +159,50 @@ def _dott(a, b):
     return _dotf(jnp.transpose(a), b)
 
 
+def _dot_accum(a, b, transpose_a=False):
+    """Error-compensated bf16x3 matmul for ACCUMULATION sites (channel sums,
+    gradient moments) — never for coverage-deciding planes. 3 DEFAULT MXU
+    passes instead of HIGHEST's 6; relative error ~2^-16 of the term
+    magnitudes, far inside the tiled-vs-dense tolerance (these sums feed
+    premultiplied channels / gradients, not any hard threshold)."""
+    if transpose_a:
+        a = jnp.transpose(a)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _shift_rows(x, d):
+    """Shift rows down by d (zeros shifted in)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows >= d, pltpu.roll(x, d, axis=0), 0.0)
+
+
+def _prefix_rows(x, inclusive):
+    """f32 prefix sum along the pair dimension (axis 0) of (CHUNK, NPX):
+    log2(CHUNK) Hillis-Steele roll+add VPU passes. Replaces the
+    (CHUNK, CHUNK) lower-triangular matmul, which at HIGHEST costs 6 MXU
+    passes of K=CHUNK depth — the single most expensive op of the round-2
+    kernel (~6.5 us/chunk). Plain f32 adds in tree order: the same accuracy
+    class as the f32 matmul it replaces (transmittance chains tolerate
+    reordering; coverage never flows through here)."""
+    y = x if inclusive else _shift_rows(x, 1)
+    d = 1
+    while d < x.shape[0]:
+        y = y + _shift_rows(y, d)
+        d *= 2
+    return y
+
+
 def _pixel_features():
     """(8, NPX) pixel-feature rows [1, x, y, x^2, x*y, y^2, 0, 0] in
     tile-LOCAL coordinates: x = col + .5, y = row + .5 of the flattened
@@ -169,16 +213,6 @@ def _pixel_features():
     one = jnp.ones((1, NPX), jnp.float32)
     zero = jnp.zeros((1, NPX), jnp.float32)
     return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero], 0)
-
-
-def _tri_mats():
-    """Strict and inclusive lower-triangular (CHUNK, CHUNK) prefix-sum
-    operators."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    strict = (ri > ci).astype(jnp.float32)
-    incl = (ri >= ci).astype(jnp.float32)
-    return strict, incl
 
 
 def _live_col(base, start, end):
@@ -286,7 +320,6 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
         tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
         feats = _pixel_features()
-        l_strict, _ = _tri_mats()
 
         acc[...] = jnp.zeros((NUM_CH, NPX), jnp.float32)
 
@@ -328,7 +361,7 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
             ag = jnp.minimum(agr, 0.9999)         # clamped, transmittance
             lg = jnp.log(1.0 - ag)
             if _SCAN_ON:
-                cum = _dotf(l_strict, lg)         # exclusive log-prefix
+                cum = _prefix_rows(lg, inclusive=False)  # exclusive prefix
             else:  # timing-experiment knob: no within-chunk ordering
                 cum = jnp.zeros_like(lg)
             e_a = jnp.exp(cum + acc[CH_TA:CH_TA + 1])
@@ -338,23 +371,23 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
             c_a = jnp.concatenate(
                 [col("col_r"), col("col_g"), col("col_b"), ones], axis=1
             )
-            acc[0:4] += _dott(c_a, agw)
+            acc[0:4] += _dot_accum(c_a, agw, transpose_a=True)
 
             if not albedo_only:
                 gw_a = g * e_a
                 lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
-                cumg = _dotf(l_strict, lgg)
+                cumg = _prefix_rows(lgg, inclusive=False)
                 gw_g = g * jnp.exp(cumg + acc[CH_TG:CH_TG + 1])
                 c_n = jnp.concatenate(
                     [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
                     axis=1,
                 )
-                acc[8:12] += _dott(c_n, gw_a)
+                acc[8:12] += _dot_accum(c_n, gw_a, transpose_a=True)
                 c_g = jnp.concatenate(
                     [col("ws_x"), col("ws_y"), col("ws_z"), ones,
                      col("metal"), col("rough")], axis=1,
                 )
-                gvals = _dott(c_g, gw_g)
+                gvals = _dot_accum(c_g, gw_g, transpose_a=True)
                 acc[4:8] += gvals[0:4]
                 acc[12:14] += gvals[4:6]
                 acc[CH_TG:CH_TG + 1] += (
@@ -404,7 +437,6 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
         tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
         feats = _pixel_features()
         featsT = jnp.transpose(feats)               # (NPX, 8)
-        l_strict, l_incl = _tri_mats()
         ct = ct_ref[...].reshape(NUM_CH, NPX)
         ct_rgbaT = jnp.transpose(ct[0:4])           # (NPX, 4)
         res_a = res_a_ref[...].reshape(1, NPX)
@@ -451,7 +483,7 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             agr = alpha * g
             ag = jnp.minimum(agr, 0.9999)
             lg = jnp.log(1.0 - ag)
-            cum = _dotf(l_strict, lg)
+            cum = _prefix_rows(lg, inclusive=False)
             e_a = jnp.exp(cum + state[0:1])          # per-pixel T_a weights
             gw_a = g * e_a
 
@@ -459,31 +491,31 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             c_a = jnp.concatenate(
                 [col("col_r"), col("col_g"), col("col_b"), ones], axis=1
             )
-            ct_rgb3 = _dotf(c_a, ct[0:4])            # (CHUNK, NPX)
+            ct_rgb3 = _dot_accum(c_a, ct[0:4])       # (CHUNK, NPX)
             sdot_a = alpha * ct_rgb3
             if not albedo_only:
                 c_n = jnp.concatenate(
                     [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
                     axis=1,
                 )
-                sdot_a = sdot_a + _dotf(c_n, ct[8:12])
+                sdot_a = sdot_a + _dot_accum(c_n, ct[8:12])
 
             p_a = sdot_a * gw_a
-            bpref_a = state[2:3] + _dotf(l_incl, p_a)
+            bpref_a = state[2:3] + _prefix_rows(p_a, inclusive=True)
             da = -(res_a - bpref_a) / (1.0 - ag)
             dL_dg = sdot_a * e_a + da * alpha
             if not albedo_only:
                 lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
-                cumg = _dotf(l_strict, lgg)
+                cumg = _prefix_rows(lgg, inclusive=False)
                 e_g = jnp.exp(cumg + state[1:2])
                 gw_g = g * e_g
                 c_g = jnp.concatenate(
                     [col("ws_x"), col("ws_y"), col("ws_z"), ones,
                      col("metal"), col("rough")], axis=1,
                 )
-                sdot_g = _dotf(c_g, ct_g6)
+                sdot_g = _dot_accum(c_g, ct_g6)
                 p_g = sdot_g * gw_g
-                bpref_g = state[3:4] + _dotf(l_incl, p_g)
+                bpref_g = state[3:4] + _prefix_rows(p_g, inclusive=True)
                 dgg = -(res_g - bpref_g) / jnp.maximum(1.0 - g, 1e-4)
                 dL_dg = dL_dg + sdot_g * e_g + dgg
 
@@ -491,7 +523,7 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             dal = g * (ct_rgb3 * e_a + da)           # dL/dalpha plane
 
             # moments over pixels: one (2*CHUNK, NPX) @ (NPX, 8) matmul
-            mom = _dotf(jnp.concatenate([gp, dal], axis=0), featsT)
+            mom = _dot_accum(jnp.concatenate([gp, dal], axis=0), featsT)
             m0 = mom[:CHUNK, 0:1]
             mx = mom[:CHUNK, 1:2]
             my = mom[:CHUNK, 2:3]
@@ -509,7 +541,7 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             d_cb = -(mxp * myp * m0 + mxp * my - myp * mx - mxy)
             d_cc = -0.5 * (myp * myp * m0 + 2.0 * myp * my + myy)
 
-            d_rgb = _dotf(agr * e_a, ct_rgbaT[:, 0:3])   # (CHUNK, 3)
+            d_rgb = _dot_accum(agr * e_a, ct_rgbaT[:, 0:3])  # (CHUNK, 3)
 
             zeros = jnp.zeros((CHUNK, 1), jnp.float32)
             cols_out = [zeros] * f_pad
@@ -523,8 +555,8 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             cols_out[idx["col_b"]] = d_rgb[:, 2:3]
             cols_out[idx["alpha"]] = d_alpha
             if not albedo_only:
-                d_n = _dotf(gw_a, ct_nT)                 # (CHUNK, 4)
-                d_g6 = _dotf(gw_g, ct_g6T)               # (CHUNK, 6)
+                d_n = _dot_accum(gw_a, ct_nT)            # (CHUNK, 4)
+                d_g6 = _dot_accum(gw_g, ct_g6T)          # (CHUNK, 6)
                 cols_out[idx["nrm_x"]] = d_n[:, 0:1]
                 cols_out[idx["nrm_y"]] = d_n[:, 1:2]
                 cols_out[idx["nrm_z"]] = d_n[:, 2:3]

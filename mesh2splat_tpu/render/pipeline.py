@@ -137,6 +137,12 @@ def render_frame(
     prepass (occlusion culling) when config.depth_test_mesh is set."""
     light = light or PointLight.default()
 
+    # an unset class-C pair budget silently dropped wide-span pairs on
+    # close-up scenes (round-2 weak #3): size it to the scene instead (one
+    # host readback; pow2-rounded so similar frames share the compile)
+    if config.use_tiled and config.pair_capacity == 0:
+        config = calibrate_frame(splats, camera, config)
+
     cubemap = None
     if config.shadows and int(config.render_mode) == int(RenderMode.FINAL):
         cubemap = render_shadow_cubemap(

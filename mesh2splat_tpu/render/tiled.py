@@ -75,6 +75,7 @@ def rasterize_tiled(
             "depth": zeros,
             "metal_rough": zeros,
             "transmittance": jnp.ones((height, width), jnp.float32),
+            "dropped_pairs": binned.dropped_pairs,
         }
 
     binned = B.bin_pairs(
@@ -106,4 +107,5 @@ def rasterize_tiled(
             [out[12], out[13], jnp.zeros_like(out[12]), out[7]], axis=-1
         ),
         "transmittance": 1.0 - out[3],
+        "dropped_pairs": binned.dropped_pairs,
     }

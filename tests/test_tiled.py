@@ -193,3 +193,43 @@ def test_overdraw_tiled_matches_dense():
     np.testing.assert_allclose(
         np.asarray(tiled["albedo"]), np.asarray(dense["albedo"]), atol=1e-5
     )
+
+
+def test_closeup_class_c_no_silent_drops():
+    """A close-up camera pushes most splats past K_SLOTS tiles (class C):
+    the calibrated budget must render identically to dense with a zero
+    dropped-pair count, and an undersized budget must REPORT its drops
+    (round-2 weak #3: drops used to be silent)."""
+    sp = random_splats(120, seed=7, spread=0.6)
+    cam = make_camera(
+        eye=[0, 0, 1.2], center=[0, 0, 0], up=[0, 1, 0],
+        fov_y_rad=np.pi / 2.2, width=W, height=H,
+    )
+    proj = project_splats(
+        sp, cam, std_dev=1.0, splat_format=SplatFormat.PLY_3DGS, has_pbr=True
+    )
+    # most splats must span > K_SLOTS tiles for this test to bite
+    n_c = int(binning.required_overflow(proj, W, H))
+    assert n_c > 120 * binning.K_SLOTS
+
+    cap = int(np.ceil(n_c / 128)) * 128
+    dense = rasterize_dense(proj, W, H)
+    tiled = rasterize_tiled(proj, W, H, pair_capacity=cap, interpret=True)
+    assert int(tiled["dropped_pairs"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(tiled["albedo"]), np.asarray(dense["albedo"]), atol=5e-3
+    )
+
+    starved = rasterize_tiled(
+        proj, W, H, pair_capacity=cap // 4, interpret=True
+    )
+    assert int(starved["dropped_pairs"]) == n_c - cap // 4
+
+
+def test_binner_rejects_oversized_image():
+    """packed_geom carries tx0/ty0/sx in 7+11+7 bits; images beyond that
+    must be rejected loudly instead of corrupting tiles."""
+    sp = random_splats(8, seed=3)
+    proj = project(sp)
+    with pytest.raises(ValueError, match="packed-geometry"):
+        binning.bin_pairs(proj, 128 * 130, 64)
