@@ -179,43 +179,82 @@ def test_rasterize_sharded_matches_single_device():
     )
 
 
+def _random_params(n, seed=0):
+    from mesh2splat_tpu.train.fit import SplatParams
+
+    rng = np.random.default_rng(seed)
+    return SplatParams(
+        pos=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32),
+        color=jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32),
+        opacity_logit=jnp.zeros((n,), jnp.float32),
+        log_scale=jnp.full((n, 3), -4.0, jnp.float32),
+        quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1)),
+        normal=jnp.tile(jnp.asarray([0.0, 0, 1], jnp.float32), (n, 1)),
+        pbr=jnp.zeros((n, 2), jnp.float32),
+    )
+
+
 def test_scaling_bound_compiled_program():
-    """Structural scaling guard (round-2 weak #5): the compiled 8-device
-    data-parallel training step must (a) reduce gradients with real
-    collectives, and (b) do ~1/8 of the single-device FLOPs per device —
-    a regression here means someone serialized the psum or replicated the
-    per-view work."""
+    """Structural scaling guard (round-2 weak #5, reworked in round 4): the
+    compiled 8-device data-parallel training step must (a) reduce gradients
+    with a real collective on the PRODUCTION tiled path, and (b) do ~1/8 of
+    the single-device FLOPs per device on a representative workload (100k
+    splats, 256^2 views).
+
+    The FLOPs-scaling half runs on the dense rasterizer (use_tiled=False):
+    XLA's cost_analysis counts a vmapped Pallas custom call ONCE regardless
+    of the batch dimension (measured round 4: tiled loss = 27.2M fixed +
+    0.7M/view while the pure-XLA dense loss = 21.4M/view exactly), so
+    per-device FLOPs on the tiled path can never reflect view sharding.
+    The dense path has the same train-step structure (to_splats -> vmap over
+    views -> project -> rasterize -> L2 -> pmean/psum), is costed honestly,
+    and compiles without executing, so representative scale is free.
+    Gradient-equivalence of the tiled sharded step is executed for real in
+    test_data_parallel_training_step_matches_single."""
     from jax.sharding import PartitionSpec as P
 
-    from mesh2splat_tpu.train.fit import SplatParams, l2_loss
+    from mesh2splat_tpu.train.fit import l2_loss, train_step_fn
 
-    mesh = quad_mesh()
-    cfg = ConversionConfig(resolution=8, layers=2)
-    splats = convert(mesh, Material.default(), *mesh.bbox(), cfg)
-    params = SplatParams.from_splats(splats)
+    n_splats = 100_000
+    params = _random_params(n_splats)
+    valid = jnp.ones((n_splats,), bool)
 
-    n_views = 8
+    n_views, w, h = 8, 256, 256
     cams = [
         make_camera(
             eye=[np.sin(a), 0.2, 1.5], center=[0, 0, 0], up=[0, 1, 0],
-            fov_y_rad=np.pi / 3, width=32, height=32,
+            fov_y_rad=np.pi / 3, width=w, height=h,
         )
         for a in np.linspace(0, 1, n_views)
     ]
     cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
-    targets = jnp.zeros((n_views, 32, 32, 3))
-
-    def single(params, valid, cameras, targets):
-        return l2_loss(params, valid, cameras, targets, 32, 32,
-                       std_dev=cfg.scale_multiplier)
+    targets = jnp.zeros((n_views, h, w, 3))
 
     dev_mesh = make_mesh(8)
+
+    # ---- (a) production tiled step: real collective over the mesh --------
+    import optax
+
+    step = train_step_fn(optax.sgd(1e-3), w, h, std_dev=1.0, use_tiled=True,
+                         mesh=dev_mesh, pair_capacity=1 << 15)
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(params)
+    c_tiled = jax.jit(step).lower(
+        params, opt_state, valid, cameras, targets
+    ).compile()
+    hlo = c_tiled.as_text()
+    assert "all-reduce" in hlo, "sharded tiled step lost its gradient all-reduce"
+
+    # ---- (b) per-device FLOPs scale on the honestly-costed dense path ----
+    def single(params, valid, cameras, targets):
+        return l2_loss(params, valid, cameras, targets, w, h,
+                       use_tiled=False)
 
     def sharded(params, valid, cameras, targets):
         def local(params, valid, cameras, targets):
             return jax.lax.pmean(
-                l2_loss(params, valid, cameras, targets, 32, 32,
-                        std_dev=cfg.scale_multiplier),
+                l2_loss(params, valid, cameras, targets, w, h,
+                        use_tiled=False),
                 "dp",
             )
         return jax.shard_map(
@@ -223,18 +262,16 @@ def test_scaling_bound_compiled_program():
             out_specs=P(), check_vma=False,
         )(params, valid, cameras, targets)
 
-    args = (params, splats.valid, cameras, targets)
+    args = (params, valid, cameras, targets)
     c_single = jax.jit(jax.value_and_grad(single)).lower(*args).compile()
     c_sharded = jax.jit(jax.value_and_grad(sharded)).lower(*args).compile()
+    assert "all-reduce" in c_sharded.as_text()
 
-    # (a) gradient reduction is a real collective
-    hlo = c_sharded.as_text()
-    assert "all-reduce" in hlo, "sharded step lost its gradient all-reduce"
-
-    # (b) per-device FLOPs scale: cost_analysis is per-device for SPMD
     f_single = c_single.cost_analysis()["flops"]
     f_sharded = c_sharded.cost_analysis()["flops"]
-    assert f_sharded < f_single * 0.35, (
+    # ideal 0.125; 0.2 leaves room for the replicated to_splats/optimizer
+    # prologue while still failing if any per-view work is replicated
+    assert f_sharded < f_single * 0.2, (
         f"per-device flops {f_sharded:.3g} vs single {f_single:.3g}: "
         "the view-parallel work is no longer sharded"
     )
