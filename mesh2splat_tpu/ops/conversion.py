@@ -223,7 +223,7 @@ def _row_span(ouv6, tx0, tw, y, res):
     return c0, c1, xlo <= xhi
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "return_stats"))
 def convert(
     mesh: TriangleMesh,
     material: Material,
@@ -231,13 +231,18 @@ def convert(
     bbox_max: jax.Array,
     config: ConversionConfig,
     ortho_uv: jax.Array | None = None,
+    return_stats: bool = False,
 ) -> Splats:
     """Convert one primitive (triangle soup + material) to splats.
 
     bbox_min/max: the per-mesh bbox used for ortho-UV normalization
     (reference: ConversionPass.cpp:111-112 binds mesh.bbox).
     ortho_uv: optional (T, 3, 2) custom conversion UVs (see
-    ops.uv_unwrap.unwrap_normalized_uvs)."""
+    ops.uv_unwrap.unwrap_normalized_uvs).
+    return_stats: when True, returns (splats, stats) where stats surfaces
+    budget overflow counts (see _overflow_stats) — the analogue of the
+    reference discarding fragments past u_maxGaussians (converterFS.glsl:
+    46-51), made observable instead of silent."""
     return _convert_core(
         mesh, bbox_min, bbox_max, config,
         stack=_material_stack(material),
@@ -247,6 +252,7 @@ def convert(
         has_normal=material.has_normal,
         has_mr=material.has_metallic_roughness,
         ortho_uv=ortho_uv,
+        return_stats=return_stats,
     )
 
 
@@ -262,6 +268,7 @@ def _convert_core(
     has_normal: bool,
     has_mr: bool,
     ortho_uv=None,              # (T, 3, 2) custom conversion UVs | None
+    return_stats: bool = False,
 ) -> Splats:
     res = config.resolution
     cap = config.capacity
@@ -269,11 +276,54 @@ def _convert_core(
     attrs, ouv, geo = ex["attrs"], ex["ouv"], ex["geo"]
     tri_id_safe, s_row_local = ex["tri_id_safe"], ex["s_row_local"]
     local, in_budget, t = ex["local"], ex["in_budget"], ex["t"]
-    return _finish_convert(
+    splats = _finish_convert(
         mesh, config, stack, mids, factors, has_base, has_normal, has_mr,
         attrs, ouv, geo, tri_id_safe, s_row_local, local, in_budget, t,
         ex["local_in_kernel"],
     )
+    if not return_stats:
+        return splats
+    return splats, _overflow_stats(ex, config)
+
+
+def _overflow_stats(ex, config: ConversionConfig) -> dict:
+    """Budget-overflow counters (mirrors BinnedPairs.dropped_pairs):
+
+    dropped_rows:  (triangle, texel-row) producers past row_capacity — each
+        lost row silently loses ALL its texel slots, so any nonzero value
+        means dropped_slots is a lower bound.
+    dropped_slots: texel slots past capacity (trailing triangles lose
+        coverage; reference analogue: fragments discarded past
+        u_maxGaussians, converterFS.glsl:46-51).
+    dropped_window: slots whose triangle fell outside the calibrated
+        rec_window of their fragment-kernel chunk (0 with calibrate()'s
+        exact bound; nonzero = a miscalibrated window, previously silent —
+        round-3 advisor finding)."""
+    stats = {
+        "dropped_rows": jnp.maximum(ex["row_demand"] - config.row_capacity, 0),
+        "dropped_slots": jnp.maximum(ex["slot_demand"] - config.capacity, 0),
+    }
+    w_rec = config.rec_window
+    if w_rec and ex["local_in_kernel"]:
+        tri = ex["tri_id_safe"]
+        cap = tri.shape[0]
+        grid = -(-cap // fragment.CHUNK)
+        pad = grid * fragment.CHUNK - cap
+        tri_pad = jnp.concatenate([tri, jnp.broadcast_to(tri[-1:], (pad,))])
+        live_pad = jnp.concatenate(
+            [ex["in_budget"], jnp.zeros((pad,), bool)]
+        ).reshape(grid, fragment.CHUNK)
+        tri_pad = tri_pad.reshape(grid, fragment.CHUNK)
+        bases = (tri_pad[:, 0] // 128) * 128       # fragment._window_bases
+        w_all = fragment._w_all(w_rec)
+        rel = tri_pad - bases[:, None]
+        bad = jnp.logical_and(
+            live_pad, jnp.logical_or(rel < 0, rel >= w_all)
+        )
+        stats["dropped_window"] = jnp.sum(bad.astype(jnp.int32))
+    else:
+        stats["dropped_window"] = jnp.int32(0)
+    return stats
 
 
 def _expand_slots(mesh, bbox_min, bbox_max, config, ortho_uv=None):
@@ -377,6 +427,9 @@ def _expand_slots(mesh, bbox_min, bbox_max, config, ortho_uv=None):
         attrs=attrs, ouv=ouv, geo=geo, tri_id_safe=tri_id_safe,
         s_row_local=s_row_local, local=local, in_budget=in_budget,
         total=total, t=t, local_in_kernel=local_in_kernel,
+        # pre-clip demand for _overflow_stats (slot_demand only counts rows
+        # that fit row_capacity — a lower bound whenever dropped_rows > 0)
+        row_demand=jnp.sum(n_rows), slot_demand=jnp.sum(width),
     )
 
 
@@ -391,6 +444,14 @@ def _finish_convert(
     # fast-tier (~1.4 ns/idx at 20k rows) XLA gather.
     res = config.resolution
     cap = config.capacity
+    # metaT rides triangle ids as f32 (field-major kernel layout): exact
+    # only below 2^24 (round-3 advisor finding). 16.7M triangles is ~20x
+    # the reference's own working scale; raise rather than gather garbage.
+    if t >= 1 << 24:
+        raise ValueError(
+            f"{t} triangles exceeds the fragment kernel's f32 triangle-id "
+            "range (2^24); split the scene into multiple convert calls"
+        )
     if mids is None:
         mids = jnp.zeros((t,), jnp.int32)
     fac_t = factors[mids]  # (T, 4)
@@ -557,17 +618,21 @@ def calibrate(
     bbox_max,
     config: ConversionConfig,
     round_to: int = 8192,
+    n_primitives: int = 1,
 ) -> ConversionConfig:
     """Return a config whose row and texel budgets exactly fit this mesh
-    (rounded up for layout friendliness, capped at res^2*layers). Conversion
-    with the calibrated config produces the identical splat set at
-    proportionally lower cost — the TPU analogue of the reference paying only
-    for live fragments via atomic appends (ConversionPass.cpp:20-33).
+    (rounded up for layout friendliness, capped at res^2*layers*
+    n_primitives — the reference's min(res^2*6*meshCount, 7M),
+    ConversionPass.cpp:21-24). Conversion with the calibrated config produces
+    the identical splat set at proportionally lower cost — the TPU analogue
+    of the reference paying only for live fragments via atomic appends
+    (ConversionPass.cpp:20-33).
 
     Also measures the fragment kernel's record-window bound (rec_window):
     meshes whose slot chunks span <= 1024 triangles take the in-kernel
     window-DMA path; others keep the per-slot gather."""
-    hard_cap = config.resolution * config.resolution * config.layers
+    hard_cap = (config.resolution * config.resolution * config.layers
+                * max(n_primitives, 1))
 
     def round_up(n):
         return min(-(-max(int(n), 1) // round_to) * round_to, hard_cap)
@@ -587,23 +652,25 @@ def calibrate(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "any_base", "any_normal", "any_mr"),
+    static_argnames=("config", "any_base", "any_normal", "any_mr",
+                     "return_stats"),
 )
 def _convert_packed_impl(
     merged, bb_lo, bb_hi, mids, factors, stack, config,
-    any_base, any_normal, any_mr,
+    any_base, any_normal, any_mr, return_stats=False,
 ):
     return _convert_core(
         merged, bb_lo, bb_hi, config,
         stack=stack if (any_base or any_normal or any_mr) else None,
         mids=mids, factors=factors,
         has_base=any_base, has_normal=any_normal, has_mr=any_mr,
+        return_stats=return_stats,
     )
 
 
 def convert_packed(
     primitives, config: ConversionConfig, shared_bbox=None,
-    calibrate_budget: bool = False,
+    calibrate_budget: bool = False, return_stats: bool = False,
 ) -> Splats:
     """Convert a whole multi-primitive scene in ONE fused pass.
 
@@ -687,11 +754,25 @@ def convert_packed(
         stack = jnp.zeros((1, 1, 1, 10), jnp.float32)
 
     if calibrate_budget:
-        config = calibrate(merged, bb_lo, bb_hi, config)
+        config = calibrate(merged, bb_lo, bb_hi, config,
+                           n_primitives=len(primitives))
+    elif not config.capacity_override and len(primitives) > 1:
+        # uncalibrated multi-primitive budget scales with primitive count,
+        # clamped at the reference's global capacity:
+        # min(res^2 * layers * meshCount, 7M) (ConversionPass.cpp:21-24,
+        # RenderPass.hpp:9). Round 3 used res^2 * layers regardless of
+        # count, which could silently drop whole primitives.
+        config = dataclasses.replace(
+            config,
+            capacity_override=min(
+                config.resolution ** 2 * config.layers * len(primitives),
+                7_000_000,
+            ),
+        )
 
     return _convert_packed_impl(
         merged, bb_lo, bb_hi, mids, factors, stack, config,
-        any_base, any_normal, any_mr,
+        any_base, any_normal, any_mr, return_stats,
     )
 
 

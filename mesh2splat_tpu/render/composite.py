@@ -25,13 +25,19 @@ of the VPU wherever it has matmul structure, which is most of it:
     (d mean, d conic) is a linear combination of the moments
     sum_px gp * [1, x, y, x^2, xy, y^2].
 
-All matmuls default to Precision.HIGHEST (full f32 accuracy via MXU
-passes) because the quadratic pixel basis has terms up to ~1.6e4 that
-cancel, and the |u|,|v| <= 1 quad-coverage test is a hard threshold: any
-lower-precision evaluation (e.g. the bf16x3 compensated decomposition,
-selectable via MS_COMP_PRECISION=high for profiling only) flips coverage
-decisions and breaks tiled-vs-dense equivalence. The remaining VPU work
-per chunk is ~a dozen elementwise passes (exp, log, masks).
+Precision is split by role (round-3 change, 27d865d):
+  * COVERAGE-DECIDING planes (power/u/v via _dotf/_dott) default to
+    Precision.HIGHEST — the quadratic pixel basis has terms up to ~1.6e4
+    that cancel, and |u|,|v| <= 1 is a hard threshold, so any lower
+    precision flips coverage decisions and breaks tiled-vs-dense
+    equivalence. MS_COMP_PRECISION overrides these sites ONLY, for
+    profiling.
+  * ACCUMULATION sites (channel sums, gradient moments via _dot_accum) are
+    unconditionally bf16x3 error-compensated (3 DEFAULT MXU passes,
+    ~2^-16 relative error) regardless of the knob — they feed premultiplied
+    channels and gradients, never a threshold.
+The remaining VPU work per chunk is ~a dozen elementwise passes
+(exp, log, masks).
 
 Pair data arrives field-major — an (F_pad, P) f32 buffer (binning.py), so a
 chunk of 128 pairs is ONE lane-aligned (F_pad, 128) DMA. Tile ranges are

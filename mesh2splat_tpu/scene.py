@@ -67,10 +67,13 @@ class Scene:
     # --------------------------------------------------------------- convert
 
     def convert(self, resolution: int = 512, layers: int = 6,
-                gaussian_std: float = 1.0, calibrated: bool = True) -> Splats:
+                gaussian_std: float = 1.0, calibrated: bool = True,
+                return_stats: bool = False) -> Splats:
         """Convert every primitive. ``calibrated`` sizes the slot budget to
         each mesh (identical splats, ~linear cost savings; set False to
-        reuse one compiled kernel across same-shaped meshes)."""
+        reuse one compiled kernel across same-shaped meshes).
+        ``return_stats``: also return the budget-overflow counters
+        (ops.conversion._overflow_stats) as a second value."""
         if not self.primitives:
             raise ValueError("Scene has no mesh primitives (PLY import?)")
         cfg = ConversionConfig(
@@ -87,12 +90,12 @@ class Scene:
             # gaussian SSBO (ConversionPass.cpp:50-52)
             return convert_packed(
                 [(mesh, mat) for mesh, mat, _ in self.primitives], cfg,
-                calibrate_budget=calibrated,
+                calibrate_budget=calibrated, return_stats=return_stats,
             )
         mesh, mat, pr = self.primitives[0]
         lo, hi = jnp.asarray(pr.bbox()[0]), jnp.asarray(pr.bbox()[1])
         pcfg = calibrate(mesh, lo, hi, cfg) if calibrated else cfg
-        return convert(mesh, mat, lo, hi, pcfg)
+        return convert(mesh, mat, lo, hi, pcfg, return_stats=return_stats)
 
     # ---------------------------------------------------------------- render
 

@@ -146,6 +146,38 @@ def test_capacity_clamp():
     assert int(sp.count()) <= small.capacity
 
 
+def test_overflow_stats_surfaced():
+    """Budget overflow is observable via return_stats (round-3 verdict
+    weak #4 / advisor finding: the clamp used to be silent)."""
+    mesh = unit_quad()
+    # generous budget: zero drops, identical splats
+    cfg = ConversionConfig(resolution=16, layers=3)
+    sp, stats = convert(mesh, Material.default(), *mesh.bbox(), cfg,
+                        return_stats=True)
+    assert int(stats["dropped_rows"]) == 0
+    assert int(stats["dropped_slots"]) == 0
+    assert int(stats["dropped_window"]) == 0
+    sp_plain = convert(mesh, Material.default(), *mesh.bbox(), cfg)
+    assert int(sp.count()) == int(sp_plain.count()) == 16 * 16
+
+    # starved slot budget: exact allocation shortfall surfaced
+    from mesh2splat_tpu.ops.conversion import required_slots
+
+    tiny = ConversionConfig(resolution=16, layers=3, capacity_override=100)
+    demand = int(required_slots(mesh, *mesh.bbox(), tiny))
+    sp2, stats2 = convert(mesh, Material.default(), *mesh.bbox(), tiny,
+                          return_stats=True)
+    assert int(stats2["dropped_slots"]) == demand - 100 > 0
+    assert int(sp2.count()) <= 100
+
+    # starved row budget: dropped rows surfaced (16 rows/triangle-ish)
+    rows_tiny = ConversionConfig(resolution=16, layers=3,
+                                 row_capacity_override=8)
+    _, stats3 = convert(mesh, Material.default(), *mesh.bbox(), rows_tiny,
+                        return_stats=True)
+    assert int(stats3["dropped_rows"]) > 0
+
+
 def test_degenerate_triangles_skipped():
     mesh = unit_quad()
     bad = jnp.asarray(

@@ -35,6 +35,17 @@ def _live_rows(sp):
     return rows[np.lexsort(rows.T)]
 
 
+def test_golden_no_dropped_slots(helmet):
+    """The production-shaped scene must convert with ZERO budget overflow
+    (round-3 verdict #6: drops used to be silent)."""
+    sc, sp = helmet
+    sp2, stats = sc.convert(resolution=256, layers=6, return_stats=True)
+    assert int(stats["dropped_rows"]) == 0
+    assert int(stats["dropped_slots"]) == 0
+    assert int(stats["dropped_window"]) == 0
+    assert int(sp2.count()) == int(sp.count())
+
+
 def test_golden_count_and_splats(helmet):
     """Exact splat count + decimated sorted sample against the golden file:
     catches any drift in coverage decisions, TRS baking, texture sampling,
