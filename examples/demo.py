@@ -2,8 +2,14 @@
 relight with shadows, export/import PLY, and fit splats to target views.
 
 Run:  PYTHONPATH=. python examples/demo.py [outdir]
+      PYTHONPATH=. python examples/demo.py --turntable 60 [outdir]
 (Forces CPU unless M2S_DEMO_TPU=1 — first TPU compile is slow.)
-"""
+
+--turntable N is the app frame loop the reference runs interactively
+(main.cpp:36-59): N frames of a FlyCamera orbit through render_frame into
+an image sequence, with the rolling GPU frame-time average printed per
+frame like the UI plot (renderer.cpp:147-175, ImGuiUI.cpp:267-311; the
+16.6 ms line is the reference's interactive target, ImGuiUi.hpp:185)."""
 
 import os
 import pathlib
@@ -72,8 +78,76 @@ def save(img, path):
     print(f"  wrote {path}")
 
 
+def turntable(n_frames: int, out: pathlib.Path, size: int = 256):
+    """The reference's interactive frame loop, offline: per frame the
+    FlyCamera advances (orbit = the WASD strafe + mouse-look a user would
+    input), render_frame draws, FrameTimer reports the rolling average with
+    deferred sync (the reference's 10-query pool read 5 frames late)."""
+    import time
+
+    from mesh2splat_tpu.types import make_camera
+    from mesh2splat_tpu.utils.camera_controller import FlyCamera
+    from mesh2splat_tpu.utils.profiling import FrameTimer
+
+    out.mkdir(parents=True, exist_ok=True)
+    glb_path = out / "cube.glb"
+    make_cube_glb(glb_path)
+    prims = gltf.load_glb(glb_path)
+    mesh, mat = gltf.to_device(prims[0])
+    lo, hi = prims[0].bbox()
+    cfg = ConversionConfig(resolution=96, layers=8, gaussian_std=1.3)
+    splats = convert(mesh, mat, jnp.asarray(lo), jnp.asarray(hi), cfg)
+    print(f"converted: {int(splats.count())} gaussians")
+
+    fc = FrameConfig(width=size, height=size, render_mode=RenderMode.ALBEDO,
+                     gaussian_std=cfg.gaussian_std,
+                     resolution_target=cfg.resolution)
+    from mesh2splat_tpu.render.pipeline import calibrate_frame
+
+    radius = 2.4
+    cam_ctl = FlyCamera.create(position=(0.0, 0.9, radius))
+    cam_ctl.pitch_deg = -20.0
+    fc = calibrate_frame(splats, cam_ctl.camera(size, size), fc)
+
+    timer = FrameTimer()          # 10-sample pool, 5-frame sync latency
+    seq_dir = out / "turntable"
+    seq_dir.mkdir(exist_ok=True)
+    t_prev = time.perf_counter()
+    for i in range(n_frames):
+        # orbit: reposition on the circle and aim yaw at the center —
+        # equivalent to a user holding strafe + mouse-look (IoHandler.cpp)
+        ang = 2.0 * np.pi * i / max(n_frames, 1)
+        cam_ctl.position = np.asarray(
+            [radius * np.sin(ang), 0.9, radius * np.cos(ang)]
+        )
+        cam_ctl.yaw_deg = -90.0 - np.rad2deg(ang)
+        img = render_frame(splats, cam_ctl.camera(size, size), fc)
+        ms = timer.frame(img)
+        save(img, seq_dir / f"frame_{i:04d}.png")
+        dt, t_prev = time.perf_counter() - t_prev, time.perf_counter()
+        avg = timer.average_ms
+        print(
+            f"frame {i:3d}: wall {dt * 1e3:7.1f} ms"
+            + (f", device avg {avg:7.1f} ms"
+               f" ({'<=' if avg <= 16.6 else '>'} 16.6 ms target)"
+               if avg is not None else " (timer warming up)")
+        )
+    if timer.average_ms is not None:
+        print(f"turntable done: {n_frames} frames, "
+              f"rolling avg {timer.average_ms:.1f} ms")
+
+
 def main():
-    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/m2s_demo")
+    argv = [a for a in sys.argv[1:]]
+    if "--turntable" in argv:
+        i = argv.index("--turntable")
+        n = int(argv[i + 1])
+        rest = argv[:i] + argv[i + 2:]
+        out = pathlib.Path(rest[0] if rest else "/tmp/m2s_demo")
+        turntable(n, out)
+        return
+
+    out = pathlib.Path(argv[0] if argv else "/tmp/m2s_demo")
     out.mkdir(parents=True, exist_ok=True)
 
     glb_path = out / "cube.glb"

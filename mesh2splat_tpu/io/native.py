@@ -13,7 +13,23 @@ import subprocess
 
 import numpy as np
 
-_CSRC = pathlib.Path(__file__).resolve().parents[2] / "csrc"
+def _find_csrc() -> pathlib.Path:
+    """Locate the native sources: M2S_NATIVE_DIR override, the repo
+    checkout's ./csrc (editable install), or csrc shipped inside the
+    package (wheel package-data)."""
+    import os
+
+    env = os.environ.get("M2S_NATIVE_DIR")
+    if env:
+        return pathlib.Path(env)
+    here = pathlib.Path(__file__).resolve()
+    for cand in (here.parents[2] / "csrc", here.parents[1] / "csrc"):
+        if cand.is_dir():
+            return cand
+    return here.parents[2] / "csrc"
+
+
+_CSRC = _find_csrc()
 _LIB_PATH = _CSRC / "libm2s_native.so"
 _lib = None
 _tried = False
