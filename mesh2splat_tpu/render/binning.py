@@ -169,8 +169,14 @@ _sort_carry.defvjp(_sort_carry_fwd, _sort_carry_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _tile_geom(proj: ProjectedSplats, width: int, height: int):
-    """Elementwise per-splat tile bbox + validity (no expansion)."""
+def _tile_geom(proj: ProjectedSplats, width: int, height: int,
+               band_ty=None):
+    """Elementwise per-splat tile bbox + validity (no expansion).
+
+    band_ty: optional (ty_lo, ty_hi) int32 arrays per splat clamping the
+    tile-row range — the per-face scissor of the fused shadow cubemap
+    (6 faces stacked vertically in one tall image; a splat's pairs must not
+    bleed into the neighboring face's band)."""
     ty, tx = tiles_for(width, height)
     res_half = jnp.asarray([width, height], jnp.float32) * 0.5
     mean_px = (proj.mean_ndc + 1.0) * res_half  # GL window coords, y up
@@ -184,13 +190,20 @@ def _tile_geom(proj: ProjectedSplats, width: int, height: int):
     y_lo = row_c - ext[:, 1]
     y_hi = row_c + ext[:, 1]
 
+    ty_lo, ty_hi = (0, ty - 1) if band_ty is None else band_ty
     tx0 = jnp.clip(jnp.floor(x_lo / TILE_W).astype(jnp.int32), 0, tx - 1)
     tx1 = jnp.clip(jnp.floor(x_hi / TILE_W).astype(jnp.int32), 0, tx - 1)
-    ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), 0, ty - 1)
-    ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), 0, ty - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / TILE_H).astype(jnp.int32), ty_lo, ty_hi)
+    ty1 = jnp.clip(jnp.floor(y_hi / TILE_H).astype(jnp.int32), ty_lo, ty_hi)
 
     on_screen = (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
     valid = proj.valid & on_screen
+    if band_ty is not None:
+        # a quad entirely outside its band claims no tiles; the double clip
+        # above can produce ty0 > ty1 there, which yields sy <= 0 pairs
+        band_rows_lo = ty_lo.astype(jnp.float32) * TILE_H
+        band_rows_hi = (ty_hi + 1).astype(jnp.float32) * TILE_H
+        valid = valid & (y_hi >= band_rows_lo) & (y_lo < band_rows_hi)
     sx = tx1 - tx0 + 1
     sy = ty1 - ty0 + 1
     return mean_px, tx0, ty0, sx, sy, valid
@@ -239,8 +252,12 @@ def bin_pairs(
     c_capacity: int = 0,
     variant: str = "full",
     differentiable: bool = True,
+    band_ty=None,
 ) -> BinnedPairs:
-    """Build depth-ordered per-tile pair field lists from projected splats."""
+    """Build depth-ordered per-tile pair field lists from projected splats.
+
+    band_ty: optional per-splat (ty_lo, ty_hi) tile-row clamp (see
+    _tile_geom) — used by the fused shadow cubemap."""
     n = proj.capacity
     ty, tx = tiles_for(width, height)
     num_tiles = ty * tx
@@ -253,7 +270,8 @@ def bin_pairs(
     if not c_capacity:
         c_capacity = default_c_capacity(n)
 
-    mean_px, tx0, ty0, sx, sy, valid = _tile_geom(proj, width, height)
+    mean_px, tx0, ty0, sx, sy, valid = _tile_geom(proj, width, height,
+                                                  band_ty)
     pairs_n = sx * sy
 
     # near->far within tile comes from sorting on the f32 view depth
@@ -374,11 +392,12 @@ def bin_pairs(
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
-def required_overflow(proj: ProjectedSplats, width: int, height: int):
+def required_overflow(proj: ProjectedSplats, width: int, height: int,
+                      band_ty=None):
     """Exact class-C (span > K_SLOTS tiles) pair requirement — O(N)
     elementwise. The fixed-slot class-A rows are statically sized (K_SLOTS*N),
     so this is the only budget to calibrate."""
-    _, _, _, sx, sy, valid = _tile_geom(proj, width, height)
+    _, _, _, sx, sy, valid = _tile_geom(proj, width, height, band_ty)
     pairs_n = sx * sy
     return jnp.sum(jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0))
 

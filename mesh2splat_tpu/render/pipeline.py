@@ -38,7 +38,7 @@ class FrameConfig:
     use_tiled: bool = True             # Pallas path vs dense reference path
     depth_test_mesh: bool = False      # mesh-occlusion culling (G4:79-91)
     shadows: bool = False
-    shadow_size: int = 256             # reference uses 1024 (GaussianShadowPass.cpp:14)
+    shadow_size: int = 1024            # reference parity (GaussianShadowPass.cpp:14)
     has_pbr: bool = True
     pair_capacity: int = 0             # class-C overflow pair budget
                                        # (0 = 4N heuristic; see

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import Camera, Splats, look_at, perspective
-from ..ops.projection import project_splats
+from ..ops.projection import ProjectedSplats, project_splats
 from ..types import SplatFormat
 
 # GL cubemap face order: +X, -X, +Y, -Y, +Z, -Z
@@ -121,24 +121,84 @@ def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
     return radial, tuple(projs), jnp.stack(needs)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int):
+    """Fused-cubemap prep: ONE merged projection over all 6 faces.
+
+    Each splat belongs to exactly one face (dominant light-space direction,
+    G9:58-69), so instead of 6 N-capacity passes the 6 per-face projections
+    are SELECTED per splat into one N-capacity ProjectedSplats whose
+    mean_ndc.y is remapped into a (6*size, size) tall image — face f's
+    viewport becomes the row band [f*size, (f+1)*size). One binning call
+    with a per-splat tile-row band clamp (the per-face scissor) + one
+    min-depth kernel then render all 6 faces in a single dispatch, replacing
+    the reference's 6 sequential instanced draws
+    (GaussianShadowPass.cpp:156-236) AND round-3's 6 sequential jit
+    dispatches with up to 6 compile variants."""
+    from .binning import TILE_H, required_overflow
+
+    splat_face = dominant_face(splats.pos - light_pos)
+    cams = face_cameras(light_pos, far, size)
+    radial = jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
+
+    projs = [
+        project_splats(splats, cams[f], std_dev=std_dev,
+                       splat_format=SplatFormat.MESH2SPLAT)
+        for f in range(6)
+    ]
+
+    def sel(field_name):
+        stacked = jnp.stack([getattr(p, field_name) for p in projs])
+        f6 = splat_face.reshape((1, -1) + (1,) * (stacked.ndim - 2))
+        return jnp.take_along_axis(
+            stacked, jnp.broadcast_to(f6, (1,) + stacked.shape[1:]), axis=0
+        )[0]
+
+    mean_ndc = sel("mean_ndc")
+    facef = splat_face.astype(jnp.float32)
+    # face-local window y mpy = (ndc_y+1)*size/2 -> tall-image
+    # mpy' = mpy + (5-f)*size, re-expressed in tall-image ndc (H = 6*size)
+    ndc_y = ((mean_ndc[:, 1] + 1.0) / 6.0 + (5.0 - facef) / 3.0) - 1.0
+    mean_ndc = jnp.stack([mean_ndc[:, 0], ndc_y], axis=1)
+
+    merged = ProjectedSplats(
+        mean_ndc=mean_ndc,
+        axes_px=sel("axes_px"),
+        conic=sel("conic"),
+        depth=radial,                      # min-composite key
+        color=sel("color"),
+        normal=sel("normal"),
+        wspos=sel("wspos"),
+        pbr=sel("pbr"),
+        valid=sel("valid"),
+    )
+    tiles_per_face = size // TILE_H
+    ty_lo = splat_face * tiles_per_face
+    band = (ty_lo, ty_lo + (tiles_per_face - 1))
+    need = required_overflow(merged, size, 6 * size, band)
+    return merged, band, need
+
+
 @partial(jax.jit, static_argnames=("size", "pair_capacity"))
-def _face_min_raster(proj, radial, size: int, pair_capacity: int):
-    """One fused dispatch per face: radial-depth binning + MIN kernel +
-    uncovered fill."""
+def _fused_min_raster(merged, band, size: int, pair_capacity: int):
+    """ONE binning + ONE min-depth Pallas dispatch for all 6 cubemap faces
+    (stacked as row bands of a (6*size, size) tall image, band-clamped so
+    no face bleeds into its neighbor). Returns (6, size, size) with
+    uncovered pixels at 1.0 (= far)."""
     from . import binning as B
     from . import composite as C
     from .tiled import _is_tpu
 
-    depth_proj = dataclasses.replace(proj, depth=radial)
+    h = 6 * size
     binned = B.bin_pairs(
-        depth_proj, size, size, pair_capacity, variant="depth",
-        differentiable=False,
+        merged, size, h, pair_capacity, variant="depth",
+        differentiable=False, band_ty=band,
     )
-    ty, tx = B.tiles_for(size, size)
+    ty, tx = B.tiles_for(size, h)
     out = C.min_depth_tiles(
-        binned, jnp.asarray([size], jnp.int32), ty, tx, not _is_tpu(),
+        binned, jnp.asarray([h], jnp.int32), ty, tx, not _is_tpu(),
     )
-    depth = out[0, :size, :size]
+    depth = out[0, :h, :size].reshape(6, size, size)
     return jnp.where(depth > 1e37, 1.0, depth)
 
 
@@ -147,19 +207,21 @@ def render_shadow_cubemap(
     light_pos,
     far,
     std_dev,
-    size: int = 256,
+    size: int = 1024,
     chunk: int = 256,
     method: str = "auto",
     pair_capacity: int = 0,
 ) -> ShadowCubemap:
-    """Render all 6 faces. The reference uses 1024^2 faces
-    (GaussianShadowPass.cpp:14-19); size is configurable here.
+    """Render all 6 faces. Defaults to the reference's 1024^2 faces
+    (GaussianShadowPass.cpp:14-19).
 
     method: "dense" evaluates every (splat, pixel) pair — exact radial min,
-    O(N * size^2), fine for small maps/tests. "tiled" rides the tile-binned
-    MIN-depth Pallas kernel — the exact depth-test semantics of the
-    reference's 6 instanced depth-only draws (GaussianShadowPass.cpp:156-236)
-    at production scale. "auto" picks tiled for production sizes.
+    O(N * size^2), fine for small maps/tests. "tiled" renders ALL 6 faces
+    in one binning + one tile-binned MIN-depth Pallas dispatch (faces
+    stacked as bands of a (6*size, size) image with a per-splat band
+    scissor) — the exact depth-test semantics of the reference's 6
+    instanced depth-only draws (GaussianShadowPass.cpp:156-236) in a single
+    compile. "auto" picks tiled for production sizes.
     """
     light_pos = jnp.asarray(light_pos, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
@@ -167,30 +229,23 @@ def render_shadow_cubemap(
     if method == "auto":
         method = "tiled" if size >= 512 or splats.capacity > 65536 else "dense"
 
-    radial, projs, needs = _shadow_prep(splats, light_pos, far, std_dev, size)
-
     if method == "tiled":
-        if pair_capacity:
-            face_caps = [pair_capacity] * 6
-        else:
-            # per-face class-C budgets rounded up to powers of two so
-            # similarly loaded faces share one compiled kernel
-            face_caps = [
-                1 << max(int(n) - 1, 8192).bit_length()
-                for n in np.asarray(needs)
-            ]
-        faces = [
-            _face_min_raster(projs[f], radial, size, face_caps[f])
-            for f in range(6)
-        ]
+        if size % 8:
+            raise ValueError("tiled shadow size must be a multiple of 8")
+        merged, band, need = _shadow_prep_fused(
+            splats, light_pos, far, std_dev, size
+        )
+        cap = pair_capacity or (1 << max(int(need) - 1, 8192).bit_length())
+        faces = _fused_min_raster(merged, band, size, cap)
     else:
-        faces = [
+        radial, projs, _ = _shadow_prep(
+            splats, light_pos, far, std_dev, size
+        )
+        faces = jnp.stack([
             _min_rasterize_face(projs[f], radial, size, chunk)
             for f in range(6)
-        ]
-    return ShadowCubemap(
-        faces=jnp.stack(faces), light_pos=light_pos, far=far
-    )
+        ])
+    return ShadowCubemap(faces=faces, light_pos=light_pos, far=far)
 
 
 def _min_rasterize_face(proj, radial, size: int, chunk: int):
@@ -237,9 +292,15 @@ def _min_rasterize_face(proj, radial, size: int, chunk: int):
     return jnp.where(jnp.isinf(depth), 1.0, depth)
 
 
-def sample_cubemap(faces: jax.Array, directions: jax.Array) -> jax.Array:
-    """Nearest-sample a (6, S, S) cubemap by direction (..., 3), GL face/uv
-    conventions (reference cube math: src/utils/utils.cpp:182-268)."""
+def sample_cubemap(faces: jax.Array, directions: jax.Array,
+                   filter_linear: bool = False) -> jax.Array:
+    """Sample a (6, S, S) cubemap by direction (..., 3), GL face/uv
+    conventions (reference cube math: src/utils/utils.cpp:182-268).
+
+    Default nearest + edge clamp = the reference's shadow cubemap sampler
+    state (GL_NEAREST / GL_CLAMP_TO_EDGE, GaussianShadowPass.cpp:22-26).
+    filter_linear=True adds within-face bilinear filtering (smoother PCF
+    penumbrae than the reference; face borders stay clamped)."""
     s = faces.shape[1]
     x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
@@ -261,9 +322,27 @@ def sample_cubemap(faces: jax.Array, directions: jax.Array) -> jax.Array:
     v = (tc / ma + 1.0) * 0.5
     # v grows downward in texture space; face textures here are stored with
     # row 0 = top which matches v=0 at top after the render flip
-    ui = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
-    vi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
-    return faces[face, vi, ui]
+    if not filter_linear:
+        ui = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
+        vi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
+        return faces[face, vi, ui]
+
+    uf = u * s - 0.5
+    vf = v * s - 0.5
+    u0 = jnp.floor(uf)
+    v0 = jnp.floor(vf)
+    fu = uf - u0
+    fv = vf - v0
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, s - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, s - 1)
+    u1i = jnp.clip(u0i + 1, 0, s - 1)
+    v1i = jnp.clip(v0i + 1, 0, s - 1)
+    t00 = faces[face, v0i, u0i]
+    t01 = faces[face, v0i, u1i]
+    t10 = faces[face, v1i, u0i]
+    t11 = faces[face, v1i, u1i]
+    return (t00 * (1 - fu) * (1 - fv) + t01 * fu * (1 - fv)
+            + t10 * (1 - fu) * fv + t11 * fu * fv)
 
 
 def pcf_shadow_factor(
