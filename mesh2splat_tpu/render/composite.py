@@ -423,6 +423,20 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
 
 
 def _make_backward_kernel(idx, f_pad, albedo_only):
+    """Backward kernel factory. Round-4 DMA schedule (the round-3 kernel was
+    start->wait serial on BOTH the input and the output copy per chunk):
+
+      * input windows are double-buffered like the forward — chunk c+1
+        streams in while chunk c's gradients are computed;
+      * the output window copy is asynchronous with up to two in flight
+        (one per dscratch slot): chunk c's store is waited only when chunk
+        c+2 reuses its slot, before a boundary read-modify-write (the only
+        cross-tile window overlap — both slots drain first), and at the end
+        of the LAST grid step. Per-slot SMEM flags keep every sem_out wait
+        paired with exactly one start. The grid is sequential on the core,
+        so the chain is race-free.
+    """
+
     def _backward_kernel(
         starts_ref,
         height_ref,
@@ -431,13 +445,14 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
         res_a_ref,           # (1, TILE_H, TILE_W): Btot for the a*g group
         res_g_ref,           # (1, TILE_H, TILE_W): Btot for the g group
         dfields_hbm,         # out: (F_pad, P) gradient columns
-        scratch,             # (F_pad, CHUNK) in
-        dscratch,            # (F_pad, CHUNK) out
+        scratch,             # (2, F_pad, CHUNK) in, double-buffered
+        dscratch,            # (2, F_pad, CHUNK) out, chained
         rmw,                 # (F_pad, CHUNK) boundary-window accumulate
         state,               # (4, NPX): logT_a, logT_g, Bpref_a, Bpref_g
-        sem_in,
+        pending,             # SMEM (1,): outstanding out-DMA slot, -1 none
+        sem_in,              # DMA (2,)
         sem_rmw,
-        sem_out,
+        sem_out,             # DMA (2,)
     ):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
         tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
@@ -456,28 +471,72 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
 
         state[...] = jnp.zeros((4, NPX), jnp.float32)
 
+        first = jnp.logical_and(ti == 0, tj == 0)
+
+        @pl.when(first)
+        def _():
+            pending[0] = 0
+            pending[1] = 0
+
+        def din(slot, c):
+            return pltpu.make_async_copy(
+                fields_hbm.at[:, pl.ds(aligned + c * CHUNK, CHUNK)],
+                scratch.at[slot], sem_in.at[slot],
+            )
+
+        def dout(slot, base):
+            return pltpu.make_async_copy(
+                dscratch.at[slot], dfields_hbm.at[:, pl.ds(base, CHUNK)],
+                sem_out.at[slot],
+            )
+
+        def wait_slot(s):
+            """Consume slot s's outstanding store, if any (the window
+            offset in the reconstructed descriptor is irrelevant — the wait
+            only consumes the semaphore for the copy's byte count)."""
+
+            @pl.when(pending[s] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    dscratch.at[s],
+                    dfields_hbm.at[:, pl.ds(0, CHUNK)],
+                    sem_out.at[s],
+                ).wait()
+
+            pending[s] = 0
+
+        @pl.when(num_chunks > 0)
+        def _():
+            din(0, 0).start()
+
         def chunk_body(c, _):
             base = aligned + c * CHUNK
-            cin = pltpu.make_async_copy(
-                fields_hbm.at[:, pl.ds(base, CHUNK)], scratch, sem_in
-            )
-            cin.start()
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                din(1 - slot, c + 1).start()
+
             # boundary window: the previous tile already wrote gradient rows
-            # into this lane window — accumulate instead of clobbering. The
-            # Pallas grid runs sequentially on the TensorCore, so the
-            # read-modify-write cannot race.
+            # into this lane window — accumulate instead of clobbering. Its
+            # store may still be in flight: drain both slots first.
             boundary = jnp.logical_and(c == 0, start != aligned)
 
             @pl.when(boundary)
             def _():
+                wait_slot(0)
+                wait_slot(1)
                 crm = pltpu.make_async_copy(
                     dfields_hbm.at[:, pl.ds(base, CHUNK)], rmw, sem_rmw
                 )
                 crm.start()
                 crm.wait()
 
-            cin.wait()
-            st = jnp.transpose(scratch[...])  # (CHUNK, F_pad)
+            # the dscratch slot we are about to fill may hold the c-2 store
+            wait_slot(slot)
+
+            din(slot, c).wait()
+            st = jnp.transpose(scratch[slot])  # (CHUNK, F_pad)
 
             def col(name):
                 f = idx[name]
@@ -578,7 +637,7 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             dT = jnp.where(live, dT, 0.0)
             dvals = jnp.transpose(dT)                # (F_pad, CHUNK)
             dvals = jnp.where(boundary, dvals + rmw[...], dvals)
-            dscratch[...] = dvals
+            dscratch[slot] = dvals
 
             state[0:1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
             state[2:3] = bpref_a[CHUNK - 1:CHUNK]
@@ -586,14 +645,24 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
                 state[1:2] += cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
                 state[3:4] = bpref_g[CHUNK - 1:CHUNK]
 
-            cout = pltpu.make_async_copy(
-                dscratch, dfields_hbm.at[:, pl.ds(base, CHUNK)], sem_out
-            )
-            cout.start()
-            cout.wait()
+            dout(slot, base).start()
+            pending[slot] = 1
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        # drain before the program ends (the last grid step) — intermediate
+        # steps leave stores in flight for the next step's wait_slot; only
+        # the shared boundary window can overlap across tiles and the rmw
+        # path drains both slots before touching it.
+        last = jnp.logical_and(
+            ti == pl.num_programs(0) - 1, tj == pl.num_programs(1) - 1
+        )
+
+        @pl.when(last)
+        def _():
+            wait_slot(0)
+            wait_slot(1)
 
     return _backward_kernel
 
@@ -822,13 +891,14 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((f_pad, CHUNK), jnp.float32),
-            pltpu.VMEM((f_pad, CHUNK), jnp.float32),
-            pltpu.VMEM((f_pad, CHUNK), jnp.float32),
+            pltpu.VMEM((2, f_pad, CHUNK), jnp.float32),   # in, dbl-buffered
+            pltpu.VMEM((2, f_pad, CHUNK), jnp.float32),   # out, chained
+            pltpu.VMEM((f_pad, CHUNK), jnp.float32),      # rmw
             pltpu.VMEM((4, NPX), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),                  # pending flags
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dfields = pl.pallas_call(
