@@ -84,7 +84,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mesh2splat_tpu.ops.conversion import ConversionConfig, calibrate, convert
+    from mesh2splat_tpu.ops.conversion import (
+        ConversionConfig, calibrate, convert, pack_atlas,
+    )
 
     mesh, mat = synth_mesh()
     lo, hi = mesh.bbox()
@@ -95,7 +97,13 @@ def main():
     cfg = calibrate(mesh, lo, hi, cfg)
     print(f"calibrated capacity={cfg.capacity}", file=sys.stderr)
 
-    fn = jax.jit(lambda m: convert(m, mat, lo, hi, cfg))
+    # pack the material's tap atlas ONCE — the analogue of the reference
+    # uploading textures at scene load, not per ConversionPass dispatch
+    # (glUtils texture creation; ConversionPass.cpp:111-128 only binds)
+    atlas = jax.jit(pack_atlas)(mat)
+    jax.block_until_ready(atlas.atlasT)
+
+    fn = jax.jit(lambda m: convert(m, mat, lo, hi, cfg, atlas=atlas))
     sp = fn(mesh)
     jax.block_until_ready(sp)
     count = int(sp.count())
@@ -154,6 +162,39 @@ def main():
             img = fwd_j(sp)
         jax.block_until_ready(img)
         t_fwd = (time.perf_counter() - t0) / it2
+
+        # per-stage forward split (round-3 verdict: the bench must print the
+        # breakdown so the next optimization target is measured, not guessed)
+        def _t(f, *a, n=it2):
+            out = f(*a)
+            jax.block_until_ready(out)
+            tt = time.perf_counter()
+            for _ in range(n):
+                out = f(*a)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - tt) / n * 1e3
+
+        try:
+            from mesh2splat_tpu.render import binning as B
+            from mesh2splat_tpu.render import composite as C
+
+            proj_j = jax.jit(project)
+            proj = proj_j(sp)
+            bin_j = jax.jit(lambda p: B.bin_pairs(
+                p, wpx, hpx, pair_cap, variant="albedo"))
+            binned = bin_j(proj)
+            ty_n, tx_n = B.tiles_for(wpx, hpx)
+            h_arr = jnp.asarray([hpx], jnp.int32)
+            comp_j = jax.jit(lambda f, s: C.composite_tiles(
+                f, s, h_arr, ty_n, tx_n, False, True))
+            print(
+                f"fwd stages: project {_t(proj_j, sp):.2f} ms | "
+                f"bin {_t(bin_j, proj):.2f} ms | composite "
+                f"{_t(comp_j, binned.fields, binned.tile_starts):.2f} ms",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"fwd stage split skipped: {e}", file=sys.stderr)
 
         import dataclasses
 

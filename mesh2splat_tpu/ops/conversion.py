@@ -73,6 +73,38 @@ def _material_stack(material: Material):
     return jnp.concatenate([base, nrm, mrt], axis=-1)[None]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedAtlas:
+    """Prebuilt bilinear tap atlas for a material (fragment.build_pair_atlas
+    output + its static geometry). The reference uploads each texture ONCE at
+    scene load and every ConversionPass dispatch just binds and samples it
+    (glUtils.cpp texture creation; ConversionPass.cpp:111-128 bind points);
+    building the 2x2-footprint atlas per convert() call is the TPU analogue
+    of re-uploading textures per conversion — pack once with pack_atlas()
+    and pass to convert(..., atlas=) to amortize across conversions."""
+
+    atlasT: jax.Array = dataclasses.field()          # (k*4*10, n_rows) f32
+    tex_h: int = dataclasses.field(metadata=dict(static=True), default=1)
+    tex_w: int = dataclasses.field(metadata=dict(static=True), default=1)
+    hw_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
+    k: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+def pack_atlas(material: Material) -> PackedAtlas | None:
+    """Build a material's PackedAtlas once (None for textureless
+    materials). jit-compatible; the heavy roll/concat/transpose runs on
+    device a single time instead of inside every convert() call."""
+    stack = _material_stack(material)
+    if stack is None:
+        return None
+    m, th, tw_tex, _ = stack.shape
+    k = fragment.pack_factor(m * th * tw_tex)
+    atlasT, hw_pad = fragment.build_pair_atlas(stack, k)
+    return PackedAtlas(atlasT=atlasT, tex_h=th, tex_w=tw_tex,
+                       hw_pad=hw_pad, k=k)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConversionConfig:
     """Static conversion parameters.
@@ -232,6 +264,7 @@ def convert(
     config: ConversionConfig,
     ortho_uv: jax.Array | None = None,
     return_stats: bool = False,
+    atlas: PackedAtlas | None = None,
 ) -> Splats:
     """Convert one primitive (triangle soup + material) to splats.
 
@@ -242,10 +275,13 @@ def convert(
     return_stats: when True, returns (splats, stats) where stats surfaces
     budget overflow counts (see _overflow_stats) — the analogue of the
     reference discarding fragments past u_maxGaussians (converterFS.glsl:
-    46-51), made observable instead of silent."""
+    46-51), made observable instead of silent.
+    atlas: optional pack_atlas(material) result — skips the per-call tap
+    atlas build (the reference likewise uploads textures once at load,
+    not per ConversionPass dispatch)."""
     return _convert_core(
         mesh, bbox_min, bbox_max, config,
-        stack=_material_stack(material),
+        stack=None if atlas is not None else _material_stack(material),
         mids=None,
         factors=material.base_color_factor[None],
         has_base=material.has_base_color,
@@ -253,6 +289,7 @@ def convert(
         has_mr=material.has_metallic_roughness,
         ortho_uv=ortho_uv,
         return_stats=return_stats,
+        atlas=atlas,
     )
 
 
@@ -269,6 +306,7 @@ def _convert_core(
     has_mr: bool,
     ortho_uv=None,              # (T, 3, 2) custom conversion UVs | None
     return_stats: bool = False,
+    atlas: PackedAtlas | None = None,
 ) -> Splats:
     res = config.resolution
     cap = config.capacity
@@ -279,7 +317,7 @@ def _convert_core(
     splats = _finish_convert(
         mesh, config, stack, mids, factors, has_base, has_normal, has_mr,
         attrs, ouv, geo, tri_id_safe, s_row_local, local, in_budget, t,
-        ex["local_in_kernel"],
+        ex["local_in_kernel"], atlas,
     )
     if not return_stats:
         return splats
@@ -436,7 +474,7 @@ def _expand_slots(mesh, bbox_min, bbox_max, config, ortho_uv=None):
 def _finish_convert(
     mesh, config, stack, mids, factors, has_base, has_normal, has_mr,
     attrs, ouv, geo, tri_id_safe, s_row_local, local, in_budget, t,
-    local_in_kernel=False,
+    local_in_kernel=False, atlas: PackedAtlas | None = None,
 ) -> Splats:
     # ---- stage 4: the fused fragment kernel (ops.fragment) ---------------
     # All per-triangle data rides a single field-major record; the per-slot
@@ -484,11 +522,19 @@ def _finish_convert(
         [tri_id_safe, s_row_local, local, in_budget.astype(jnp.int32)]
     ).astype(jnp.float32)  # (4, cap)
 
-    has_stack = stack is not None
-    if has_stack:
+    if atlas is not None:
+        has_stack = True
+        atlasT = atlas.atlasT
+        th, tw_tex = atlas.tex_h, atlas.tex_w
+        hw_pad, k = atlas.hw_pad, atlas.k
+    elif stack is not None:
+        has_stack = True
         m, th, tw_tex, _ = stack.shape
         k = fragment.pack_factor(m * th * tw_tex)
         atlasT, hw_pad = fragment.build_pair_atlas(stack, k)
+    else:
+        has_stack = False
+    if has_stack:
         rows_idx = fragment.texel_rows(
             records, metaT, res=res, tex_h=th, tex_w=tw_tex, hw_pad=hw_pad,
             k=k, n_rows=atlasT.shape[1], w_rec=w_rec,

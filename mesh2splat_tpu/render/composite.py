@@ -112,13 +112,24 @@ if _PREC_NAME not in ("highest", "default", "high"):
         "correct), 'default', or 'high' (bf16x3; profiling only)"
     )
 _EVAL_NAME = _os.environ.get("MS_COMP_EVAL", "mxu")
-if _EVAL_NAME not in ("mxu", "vpu"):
-    raise ValueError(f"MS_COMP_EVAL={_EVAL_NAME!r}: must be 'mxu' or 'vpu'")
-_EVAL_MXU = _EVAL_NAME == "mxu"
+if _EVAL_NAME not in ("mxu", "vpu", "hybrid"):
+    raise ValueError(
+        f"MS_COMP_EVAL={_EVAL_NAME!r}: must be 'mxu', 'vpu', or 'hybrid'"
+    )
+# plane-evaluation strategy, read at TRACE time (module-level for A/B runs)
+PLANE_EVAL = _EVAL_NAME
 _SCAN_NAME = _os.environ.get("MS_COMP_SCAN", "1")
 if _SCAN_NAME not in ("0", "1"):
     raise ValueError(f"MS_COMP_SCAN={_SCAN_NAME!r}: must be '0' or '1'")
 _SCAN_ON = _SCAN_NAME == "1"
+
+# Transmittance-chain formulation, read at TRACE time (module-level so the
+# profiler can A/B it; the shipped default is fixed below):
+#   "prod": direct exclusive prefix PRODUCT of (1 - a) — matches the dense
+#           path's arithmetic exactly and needs no transcendentals;
+#   "log":  exp(prefix-sum(log(1 - a))) — the round-2/3 formulation (kept
+#           for A/B timing; ~1e-6 relative error vs the product).
+TRANSMIT = "prod"
 
 
 def _dot_raw(a, b, precision):
@@ -187,10 +198,25 @@ def _dot_accum(a, b, transpose_a=False):
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _shift_rows(x, d):
-    """Shift rows down by d (zeros shifted in)."""
+def _shift_rows(x, d, fill=0.0):
+    """Shift rows down by d (``fill`` shifted in)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(rows >= d, pltpu.roll(x, d, axis=0), 0.0)
+    return jnp.where(rows >= d, pltpu.roll(x, d, axis=0), fill)
+
+
+def _prefix_prod_rows(x, inclusive):
+    """f32 prefix PRODUCT along the pair dimension (axis 0): the same
+    log2(CHUNK) Hillis-Steele passes as _prefix_rows with multiplies instead
+    of adds — no log/exp transcendentals. This is bitwise closer to the
+    dense path (rasterize.py computes T as a running product) than the
+    log-space chain; deep-stack underflow flushes to 0, which is exactly a
+    fully-opaque tail."""
+    y = x if inclusive else _shift_rows(x, 1, 1.0)
+    d = 1
+    while d < x.shape[0]:
+        y = y * _shift_rows(y, d, 1.0)
+        d *= 2
+    return y
 
 
 def _prefix_rows(x, inclusive):
@@ -284,7 +310,7 @@ def _chunk_planes(st, idx, tjf, py0, feats, live):
     c_u = (rdet * (mnx * myp - mny * mxp), rdet * mny, rdet * mnx)
     c_v = (rdet * (mxp * mjy - mjx * myp), -rdet * mjy, -rdet * mjx)
 
-    if _EVAL_MXU:
+    if PLANE_EVAL == "mxu":
         z = jnp.zeros((CHUNK, 1), jnp.float32)
         a_pw = jnp.concatenate(list(c_pw) + [z, z], axis=1)
         a_u = jnp.concatenate(list(c_u) + [z] * 5, axis=1)
@@ -293,7 +319,17 @@ def _chunk_planes(st, idx, tjf, py0, feats, live):
         pw = planes[:CHUNK]
         u = planes[CHUNK:2 * CHUNK]
         v = planes[2 * CHUNK:3 * CHUNK]
-    else:
+    elif PLANE_EVAL == "hybrid":
+        # coverage-deciding u/v in exact f32 on the VPU; the power plane —
+        # which only scales the falloff, never gates coverage — on the MXU
+        # at bf16x3 (3 DEFAULT passes instead of HIGHEST's 6)
+        z = jnp.zeros((CHUNK, 1), jnp.float32)
+        a_pw = jnp.concatenate(list(c_pw) + [z, z], axis=1)
+        pw = _dot_accum(a_pw, feats)
+        xp, yp = feats[1:2], feats[2:3]
+        u = c_u[0] + c_u[1] * xp + c_u[2] * yp
+        v = c_v[0] + c_v[1] * xp + c_v[2] * yp
+    else:  # "vpu": all planes in plain f32 madds
         xp, yp = feats[1:2], feats[2:3]
         xx, xy, yy = feats[3:4], feats[4:5], feats[5:6]
         pw = (c_pw[0] + c_pw[1] * xp + c_pw[2] * yp
@@ -326,8 +362,12 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
         ti, tj, start, end, aligned, num_chunks = _tile_range(starts_ref)
         tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
         feats = _pixel_features()
+        prod = TRANSMIT == "prod"
 
         acc[...] = jnp.zeros((NUM_CH, NPX), jnp.float32)
+        if prod:  # T rows carry the product directly; identity is 1
+            acc[CH_TA:CH_TA + 1] = jnp.ones((1, NPX), jnp.float32)
+            acc[CH_TG:CH_TG + 1] = jnp.ones((1, NPX), jnp.float32)
 
         def dma(slot, c):
             return pltpu.make_async_copy(
@@ -340,9 +380,11 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
         def _():
             dma(0, 0).start()
 
+        stop_thresh = _MIN_T if prod else _MIN_LOG_T
+
         def chunk_cond(state):
             c, ta_max = state
-            return jnp.logical_and(c < num_chunks, ta_max > _MIN_LOG_T)
+            return jnp.logical_and(c < num_chunks, ta_max > stop_thresh)
 
         def chunk_body(state):
             c, _ = state
@@ -365,12 +407,18 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
             alpha = col("alpha")
             agr = alpha * g                       # raw, accumulation weight
             ag = jnp.minimum(agr, 0.9999)         # clamped, transmittance
-            lg = jnp.log(1.0 - ag)
-            if _SCAN_ON:
+            if prod:
+                om = 1.0 - ag
+                cum = _prefix_prod_rows(om, inclusive=False)
+                e_a = cum * acc[CH_TA:CH_TA + 1]
+            elif _SCAN_ON:
+                lg = jnp.log(1.0 - ag)
                 cum = _prefix_rows(lg, inclusive=False)  # exclusive prefix
+                e_a = jnp.exp(cum + acc[CH_TA:CH_TA + 1])
             else:  # timing-experiment knob: no within-chunk ordering
+                lg = jnp.log(1.0 - ag)
                 cum = jnp.zeros_like(lg)
-            e_a = jnp.exp(cum + acc[CH_TA:CH_TA + 1])
+                e_a = jnp.exp(cum + acc[CH_TA:CH_TA + 1])
             agw = agr * e_a
 
             ones = jnp.ones((CHUNK, 1), jnp.float32)
@@ -381,9 +429,14 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
 
             if not albedo_only:
                 gw_a = g * e_a
-                lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
-                cumg = _prefix_rows(lgg, inclusive=False)
-                gw_g = g * jnp.exp(cumg + acc[CH_TG:CH_TG + 1])
+                if prod:
+                    omg = 1.0 - g
+                    cumg = _prefix_prod_rows(omg, inclusive=False)
+                    gw_g = g * (cumg * acc[CH_TG:CH_TG + 1])
+                else:
+                    lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
+                    cumg = _prefix_rows(lgg, inclusive=False)
+                    gw_g = g * jnp.exp(cumg + acc[CH_TG:CH_TG + 1])
                 c_n = jnp.concatenate(
                     [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
                     axis=1,
@@ -396,15 +449,28 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
                 gvals = _dot_accum(c_g, gw_g, transpose_a=True)
                 acc[4:8] += gvals[0:4]
                 acc[12:14] += gvals[4:6]
-                acc[CH_TG:CH_TG + 1] += (
-                    cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
-                )
+                if prod:
+                    acc[CH_TG:CH_TG + 1] *= (
+                        cumg[CHUNK - 1:CHUNK] * omg[CHUNK - 1:CHUNK]
+                    )
+                else:
+                    acc[CH_TG:CH_TG + 1] += (
+                        cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
+                    )
 
-            acc[CH_TA:CH_TA + 1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
+            if prod:
+                acc[CH_TA:CH_TA + 1] *= (
+                    cum[CHUNK - 1:CHUNK] * om[CHUNK - 1:CHUNK]
+                )
+            else:
+                acc[CH_TA:CH_TA + 1] += (
+                    cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
+                )
             return c + 1, jnp.max(acc[CH_TA:CH_TA + 1])
 
         c_final, _ = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), jnp.float32(0.0))
+            chunk_cond, chunk_body,
+            (jnp.int32(0), jnp.float32(1.0 if prod else 0.0)),
         )
 
         # early exit leaves the prefetched next chunk's DMA in flight
@@ -412,11 +478,14 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
         def _():
             dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-        acc[CH_TA:CH_TA + 1] = jnp.exp(acc[CH_TA:CH_TA + 1])
-        acc[CH_TG:CH_TG + 1] = (
-            jnp.exp(acc[CH_TG:CH_TG + 1]) if not albedo_only
-            else jnp.ones((1, NPX), jnp.float32)
-        )
+        if not prod:
+            acc[CH_TA:CH_TA + 1] = jnp.exp(acc[CH_TA:CH_TA + 1])
+            acc[CH_TG:CH_TG + 1] = (
+                jnp.exp(acc[CH_TG:CH_TG + 1]) if not albedo_only
+                else jnp.ones((1, NPX), jnp.float32)
+            )
+        elif albedo_only:
+            acc[CH_TG:CH_TG + 1] = jnp.ones((1, NPX), jnp.float32)
         out_ref[...] = acc[...].reshape(NUM_CH, TILE_H, TILE_W)
 
     return _forward_kernel
@@ -469,7 +538,10 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             ct_g6T = jnp.transpose(ct_g6)           # (NPX, 6)
             res_g = res_g_ref[...].reshape(1, NPX)
 
+        prod = TRANSMIT == "prod"
         state[...] = jnp.zeros((4, NPX), jnp.float32)
+        if prod:  # rows 0/1 carry T products directly; identity is 1
+            state[0:2] = jnp.ones((2, NPX), jnp.float32)
 
         first = jnp.logical_and(ti == 0, tj == 0)
 
@@ -547,9 +619,14 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             alpha = col("alpha")
             agr = alpha * g
             ag = jnp.minimum(agr, 0.9999)
-            lg = jnp.log(1.0 - ag)
-            cum = _prefix_rows(lg, inclusive=False)
-            e_a = jnp.exp(cum + state[0:1])          # per-pixel T_a weights
+            if prod:
+                om = 1.0 - ag
+                cum = _prefix_prod_rows(om, inclusive=False)
+                e_a = cum * state[0:1]               # per-pixel T_a weights
+            else:
+                lg = jnp.log(1.0 - ag)
+                cum = _prefix_rows(lg, inclusive=False)
+                e_a = jnp.exp(cum + state[0:1])      # per-pixel T_a weights
             gw_a = g * e_a
 
             ones = jnp.ones((CHUNK, 1), jnp.float32)
@@ -570,9 +647,14 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             da = -(res_a - bpref_a) / (1.0 - ag)
             dL_dg = sdot_a * e_a + da * alpha
             if not albedo_only:
-                lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
-                cumg = _prefix_rows(lgg, inclusive=False)
-                e_g = jnp.exp(cumg + state[1:2])
+                if prod:
+                    omg = 1.0 - g
+                    cumg = _prefix_prod_rows(omg, inclusive=False)
+                    e_g = cumg * state[1:2]
+                else:
+                    lgg = jnp.log(jnp.maximum(1.0 - g, 1e-37))
+                    cumg = _prefix_rows(lgg, inclusive=False)
+                    e_g = jnp.exp(cumg + state[1:2])
                 gw_g = g * e_g
                 c_g = jnp.concatenate(
                     [col("ws_x"), col("ws_y"), col("ws_z"), ones,
@@ -639,10 +721,20 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
             dvals = jnp.where(boundary, dvals + rmw[...], dvals)
             dscratch[slot] = dvals
 
-            state[0:1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
+            if prod:
+                state[0:1] *= cum[CHUNK - 1:CHUNK] * om[CHUNK - 1:CHUNK]
+            else:
+                state[0:1] += cum[CHUNK - 1:CHUNK] + lg[CHUNK - 1:CHUNK]
             state[2:3] = bpref_a[CHUNK - 1:CHUNK]
             if not albedo_only:
-                state[1:2] += cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
+                if prod:
+                    state[1:2] *= (
+                        cumg[CHUNK - 1:CHUNK] * omg[CHUNK - 1:CHUNK]
+                    )
+                else:
+                    state[1:2] += (
+                        cumg[CHUNK - 1:CHUNK] + lgg[CHUNK - 1:CHUNK]
+                    )
                 state[3:4] = bpref_g[CHUNK - 1:CHUNK]
 
             dout(slot, base).start()

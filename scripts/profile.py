@@ -147,6 +147,26 @@ def cmd_convert(args):
     print(f"convert noTex : {timeit(conv_nt, mesh, iters=it):7.2f} ms",
           flush=True)
 
+    # tap-atlas build + the fast-tier gather, timed in isolation
+    from mesh2splat_tpu.ops import fragment
+    from mesh2splat_tpu.ops.conversion import _material_stack
+
+    stack = jax.jit(_material_stack)(mat)
+    m_, th_, tw_, _ = stack.shape
+    k_ = fragment.pack_factor(m_ * th_ * tw_)
+    atl = jax.jit(lambda s: fragment.build_pair_atlas(s, k_))
+    atlasT, hw_pad = atl(stack)
+    print(f"atlas build   : {timeit(atl, stack, iters=it):7.2f} ms  "
+          f"shape={atlasT.shape} k={k_}", flush=True)
+
+    rng = np.random.default_rng(0)
+    idxr = jnp.asarray(
+        rng.integers(0, atlasT.shape[1], cfg.capacity), jnp.int32)
+    gat = jax.jit(lambda a, i: a[:, i])
+    jax.block_until_ready(gat(atlasT, idxr))
+    print(f"tap gather    : {timeit(gat, atlasT, idxr, iters=it):7.2f} ms  "
+          f"({cfg.capacity} idx x {atlasT.shape[0]}f)", flush=True)
+
 
 def cmd_shadow(args):
     from mesh2splat_tpu.ops.conversion import convert

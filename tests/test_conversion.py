@@ -337,3 +337,39 @@ def test_convert_packed_matches_per_primitive():
     ref = np.concatenate([live(p) for p in parts])
     ref = ref[np.lexsort(ref.T)]
     np.testing.assert_allclose(live(packed), ref, atol=2e-5)
+
+
+def test_prebuilt_atlas_matches_inline():
+    """convert(..., atlas=pack_atlas(mat)) must produce bit-identical splats
+    to the inline per-call atlas build (the prebuilt path only hoists
+    fragment.build_pair_atlas out of the conversion — reference analogue:
+    textures are uploaded once at load, ConversionPass.cpp:111-128 binds)."""
+    from mesh2splat_tpu.ops.conversion import pack_atlas
+
+    mesh = unit_quad()
+    mat = Material(
+        base_color_factor=jnp.asarray([0.9, 0.8, 1.0, 1.0]),
+        metallic_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        base_color=checker_texture(32),
+        normal=jnp.full((32, 32, 3), 0.5).at[:16].set(0.6),
+        metallic_roughness=jnp.linspace(
+            0, 1, 32 * 32 * 3, dtype=jnp.float32
+        ).reshape(32, 32, 3),
+        has_base_color=True,
+        has_normal=True,
+        has_metallic_roughness=True,
+    )
+    cfg = ConversionConfig(resolution=32, layers=3)
+    ref = convert(mesh, mat, *mesh.bbox(), cfg)
+    atlas = pack_atlas(mat)
+    got = convert(mesh, mat, *mesh.bbox(), cfg, atlas=atlas)
+    for name in ("pos", "color", "scale", "normal", "quat", "pbr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+    # textureless material: pack_atlas is None and convert must accept that
+    assert pack_atlas(Material.default()) is None
