@@ -111,7 +111,7 @@ if _PREC_NAME not in ("highest", "default", "high"):
         f"MS_COMP_PRECISION={_PREC_NAME!r}: must be 'highest' (default, "
         "correct), 'default', or 'high' (bf16x3; profiling only)"
     )
-_EVAL_NAME = _os.environ.get("MS_COMP_EVAL", "mxu")
+_EVAL_NAME = _os.environ.get("MS_COMP_EVAL", "vpu")
 if _EVAL_NAME not in ("mxu", "vpu", "hybrid"):
     raise ValueError(
         f"MS_COMP_EVAL={_EVAL_NAME!r}: must be 'mxu', 'vpu', or 'hybrid'"
