@@ -43,8 +43,13 @@ scripts/ubench*.py):
     cotangents by the carried row id (one more cheap sort). Everything
     around it (broadcasts, the class-C record gather) autodiffs natively.
 
-Tiles are (8, 128) pixels — one native f32 VPU tile; the lane dimension
-stays fully utilized in the composite kernel.
+Tiles are (32, 32) pixels — 1024 px, still exactly one (8, 128) f32 VPU
+register tile per (pair, pixel) plane row inside the composite kernel (the
+kernel's pixel axis is a FLAT 1024-lane dimension; the tile's 2-D shape only
+affects which pixels those lanes are). Square tiles minimize the quad-span
+perimeter effect: on the bench scene, (32, 32) tiles produce 2.59M pairs
+where (8, 128) produced 3.54M (-27% compositing work) at the same sorted-row
+count (measured, scripts/exp_bin2.py).
 """
 
 from __future__ import annotations
@@ -59,11 +64,12 @@ import numpy as np
 from ..ops import segments
 from ..ops.projection import ProjectedSplats
 
-TILE_H = 8
-TILE_W = 128
-# Fixed broadcast slots per splat. With (8,128) tiles the bench-scene span
-# histogram is sy in {1,2,3} for 99.9% of splats and sx == 1 for 93%, so 3
-# column slots cover ~93% of splats exactly; the rest go through class C.
+TILE_H = 32
+TILE_W = 32
+# Fixed broadcast slots per splat. With (32,32) tiles the bench-scene span
+# histogram is dominated by 1x1/1x2/2x1 spans (covered exactly by 3 slots);
+# 2x2-and-wider spans go through the exact class-C expansion (~0.56M pairs
+# on the bench scene, calibrated).
 K_SLOTS = 3
 
 CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
@@ -141,18 +147,24 @@ def _sort_carry(num_keys, *ops):
     num_keys (=3) operands are sort keys — rowid doubles as a stable
     tie-break. Returns the fully sorted tuple. Differentiable w.r.t. the
     value operands: the backward pass re-sorts the cotangents by the carried
-    row id (the permutation inverse), far cheaper than a P-scale gather."""
-    return tuple(jax.lax.sort(ops, num_keys=num_keys))
+    row id (the permutation inverse), far cheaper than a P-scale gather.
+
+    is_stable=False everywhere here: the rowid key makes every key tuple
+    unique, so stability is vacuous — and the unstable path measures ~5 ms
+    faster at 5M rows (scripts/exp_bin.py)."""
+    return tuple(jax.lax.sort(ops, num_keys=num_keys, is_stable=False))
 
 
 def _sort_carry_fwd(num_keys, *ops):
-    out = tuple(jax.lax.sort(ops, num_keys=num_keys))
+    out = tuple(jax.lax.sort(ops, num_keys=num_keys, is_stable=False))
     return out, out[num_keys - 1]  # rowid_sorted
 
 
 def _sort_carry_bwd(num_keys, rowid_sorted, cts):
     dvals = cts[num_keys:]
-    unsorted = jax.lax.sort((rowid_sorted, *dvals), num_keys=1)[1:]
+    unsorted = jax.lax.sort(
+        (rowid_sorted, *dvals), num_keys=1, is_stable=False
+    )[1:]
     zero_keys = (
         _f0(rowid_sorted),                               # tile (int32)
         jnp.zeros(rowid_sorted.shape, jnp.float32),      # depth (f32 key)
@@ -315,12 +327,23 @@ def bin_pairs(
     )
     owner_c = jnp.maximum(owner_c, 0)
     live_c = jnp.arange(c_capacity, dtype=jnp.int32) < tot_c
-    # one gather for segment offset + packed tile geometry per pair
+    # ONE merged (C, F+3)-row gather for segment offset + packed tile
+    # geometry + depth + field values (gather cost is ~per-ROW, so merging
+    # the former separate geometry and record gathers halves it; the int32
+    # columns ride as bitcast f32 lanes — bit-exact roundtrip). The gather
+    # is differentiable: its VJP is the scatter-add back onto the class-C
+    # splats; the int columns are constants w.r.t. autodiff inputs.
     # (tx0 <= tx-1 <= 126 in 7 bits, ty0 in 11, sx <= tx <= 127 in 7 —
     # guaranteed by the static guard above, so no silent clamping)
     packed_geom = tx0 | (ty0 << 7) | (sx << 18)
-    geom2 = jnp.stack([off_c, packed_geom], axis=1)  # (N, 2) int32
-    gc = jax.lax.optimization_barrier(geom2[owner_c])  # (C, 2)
+    geom2f = jax.lax.bitcast_convert_type(
+        jnp.stack([off_c, packed_geom], axis=1), jnp.float32
+    )  # (N, 2) int32 bits in f32 lanes
+    rec = jnp.concatenate(
+        [geom2f, jnp.stack(vals + [depth], axis=1)], axis=1
+    )  # (N, 2 + F + 1)
+    rec_c = jax.lax.optimization_barrier(rec[owner_c])  # (C, 2 + F + 1)
+    gc = jax.lax.bitcast_convert_type(rec_c[:, 0:2], jnp.int32)
     local_c = jnp.arange(c_capacity, dtype=jnp.int32) - gc[:, 0]
     tc = gc[:, 1]
     tx0_c = tc & 127
@@ -329,12 +352,8 @@ def bin_pairs(
     dy_c = local_c // sx_c
     dx_c = local_c - dy_c * sx_c
     tile_c = (ty0_c + dy_c) * tx + tx0_c + dx_c
-    # one (C, F+1)-row gather for depth + field values (differentiable: its
-    # VJP is the scatter-add back onto the class-C splats)
-    rec = jnp.stack(vals + [depth], axis=1)  # (N, F+1)
-    rec_c = rec[owner_c]                     # (C, F+1)
-    vals_c = [rec_c[:, i] for i in range(nf)]
-    depth_c = rec_c[:, nf]
+    vals_c = [rec_c[:, 2 + i] for i in range(nf)]
+    depth_c = rec_c[:, 2 + nf]
 
     # ---- concatenate rows, sort once with carried fields ------------------
     tile_rows = jnp.concatenate([

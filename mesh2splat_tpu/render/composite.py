@@ -5,39 +5,34 @@ This is the TPU-native replacement for the reference's instanced-quad draw +
 ROP hardware blending (reference: GaussianSplattingPass.cpp:37-97 issuing
 glDrawElementsIndirect with blending ONE_MINUS_DST_ALPHA, ONE). A TPU has no
 raster-output units, so the sorted "under" operator runs explicitly: each
-(8, 128)-pixel tile walks its depth-ordered pair list, updating premultiplied
-accumulators and two transmittance planes in VMEM.
+(32, 32)-pixel tile walks its depth-ordered pair list, updating premultiplied
+accumulators and two transmittance planes in VMEM. The tile's 1024 pixels
+ride a FLAT lane dimension (one (8, 128) f32 register tile per plane row), so
+the 2-D tile shape is free to be square — which minimizes quad-span pair
+counts (binning.py header).
 
-Round-2 kernel formulation: the per-(pair, pixel) work rides the MXU instead
-of the VPU wherever it has matmul structure, which is most of it:
+Engine split, set by round-4 measurements (scripts/exp_raster.py): work goes
+to the MXU only where the contraction depth is real; K<=8 contractions are
+plain f32 VPU broadcasts (the systolic array pads shallow contractions to
+K=128, so a (CHUNK,8)@(8,NPX) "matmul" wastes ~94% of the array — evaluating
+the same polynomial elementwise is both faster AND exact):
 
-  * gaussian falloff power, the quad-coverage coordinates (u, v), and all
-    per-pixel broadcasts are LINEAR in the pixel-feature basis
-    [1, x, y, x^2, x*y, y^2] (tile-local coords), so one
-    (3*CHUNK, 8) @ (8, NPX) matmul evaluates power/u/v for every pair of the
-    chunk on every pixel of the tile;
-  * the front-to-back transmittance chain is a prefix product; in log space
-    it is a prefix SUM, i.e. a (CHUNK, CHUNK) lower-triangular matmul;
-  * channel accumulation sum_pairs value[pair] * weight[pair, px] is a
-    (channels, CHUNK) @ (CHUNK, NPX) matmul;
-  * the backward pass reduces per-pair gradients over pixels with moment
-    matmuls against the same feature basis: every geometric gradient
-    (d mean, d conic) is a linear combination of the moments
-    sum_px gp * [1, x, y, x^2, xy, y^2].
-
-Precision is split by role (round-3 change, 27d865d):
-  * COVERAGE-DECIDING planes (power/u/v via _dotf/_dott) default to
-    Precision.HIGHEST — the quadratic pixel basis has terms up to ~1.6e4
-    that cancel, and |u|,|v| <= 1 is a hard threshold, so any lower
-    precision flips coverage decisions and breaks tiled-vs-dense
-    equivalence. MS_COMP_PRECISION overrides these sites ONLY, for
-    profiling.
-  * ACCUMULATION sites (channel sums, gradient moments via _dot_accum) are
-    unconditionally bf16x3 error-compensated (3 DEFAULT MXU passes,
-    ~2^-16 relative error) regardless of the knob — they feed premultiplied
-    channels and gradients, never a threshold.
-The remaining VPU work per chunk is ~a dozen elementwise passes
-(exp, log, masks).
+  * gaussian falloff power and the quad-coverage coordinates (u, v) are
+    LINEAR in the pixel-feature basis [1, x, y, x^2, x*y, y^2] (tile-local
+    coords); PLANE_EVAL="vpu" (the default) evaluates them as f32 madds —
+    identical arithmetic to the dense path. "mxu" (one HIGHEST
+    (3*CHUNK, 8) @ (8, NPX) matmul) and "hybrid" remain for A/B profiling;
+  * the front-to-back transmittance chain is a direct exclusive prefix
+    PRODUCT of (1 - a) (TRANSMIT="prod"), log2(CHUNK) Hillis-Steele
+    roll+multiply passes — no transcendentals;
+  * channel accumulation sum_pairs value[pair] * weight[pair, px] IS a real
+    K=CHUNK contraction: a (channels, CHUNK) @ (CHUNK, NPX) bf16x3
+    error-compensated MXU matmul (_dot_accum, ~2^-16 relative error — it
+    feeds premultiplied channels, never a threshold);
+  * the backward pass reduces per-pair gradients over pixels with K=NPX
+    moment matmuls against the same feature basis; its shallow
+    value-x-cotangent contractions (K=4/K=6) are VPU broadcasts like the
+    planes.
 
 Pair data arrives field-major — an (F_pad, P) f32 buffer (binning.py), so a
 chunk of 128 pairs is ONE lane-aligned (F_pad, 128) DMA. Tile ranges are
@@ -55,9 +50,7 @@ per-pixel) cost.
 Forward deviations from the reference (documented):
   * a tile stops processing once its max alpha-transmittance < 1/255 — the
     reference's hardware blending has no early-out, but contributions below
-    that threshold are invisible in 8-bit output (standard 3DGS practice);
-  * transmittance products are computed as exp(sum(log(1-a))) (so the chain
-    rides the MXU); relative error vs the direct product is ~1e-6.
+    that threshold are invisible in 8-bit output (standard 3DGS practice).
 
 The backward pass is the differentiable-3DGS suffix trick, per tile: for
 out = sum_i s_i * T_i with T_i = prod_{j<i}(1 - a_j),
@@ -486,7 +479,7 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
             )
         elif albedo_only:
             acc[CH_TG:CH_TG + 1] = jnp.ones((1, NPX), jnp.float32)
-        out_ref[...] = acc[...].reshape(NUM_CH, TILE_H, TILE_W)
+        out_ref[...] = acc[...][None]
 
     return _forward_kernel
 
@@ -510,9 +503,9 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
         starts_ref,
         height_ref,
         fields_hbm,          # (F_pad, P)
-        ct_ref,              # (NUM_CH, TILE_H, TILE_W) cotangent block
-        res_a_ref,           # (1, TILE_H, TILE_W): Btot for the a*g group
-        res_g_ref,           # (1, TILE_H, TILE_W): Btot for the g group
+        ct_ref,              # (1, NUM_CH, NPX) cotangent tile row
+        res_a_ref,           # (1, 1, NPX): Btot for the a*g group
+        res_g_ref,           # (1, 1, NPX): Btot for the g group
         dfields_hbm,         # out: (F_pad, P) gradient columns
         scratch,             # (2, F_pad, CHUNK) in, double-buffered
         dscratch,            # (2, F_pad, CHUNK) out, chained
@@ -527,16 +520,16 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
         tjf, py0 = _tile_origin(ti, tj, height_ref[0].astype(jnp.float32))
         feats = _pixel_features()
         featsT = jnp.transpose(feats)               # (NPX, 8)
-        ct = ct_ref[...].reshape(NUM_CH, NPX)
+        ct = ct_ref[0]                              # (NUM_CH, NPX)
         ct_rgbaT = jnp.transpose(ct[0:4])           # (NPX, 4)
-        res_a = res_a_ref[...].reshape(1, NPX)
+        res_a = res_a_ref[0]                        # (1, NPX)
         if not albedo_only:
             ct_nT = jnp.transpose(ct[8:12])         # (NPX, 4) nrm+depth
             ct_g6 = jnp.concatenate(
                 [ct[4:8], ct[12:14]], axis=0
             )                                       # ws xyz, gacc, met, rgh
             ct_g6T = jnp.transpose(ct_g6)           # (NPX, 6)
-            res_g = res_g_ref[...].reshape(1, NPX)
+            res_g = res_g_ref[0]                    # (1, NPX)
 
         prod = TRANSMIT == "prod"
         state[...] = jnp.zeros((4, NPX), jnp.float32)
@@ -629,18 +622,20 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
                 e_a = jnp.exp(cum + state[0:1])      # per-pixel T_a weights
             gw_a = g * e_a
 
-            ones = jnp.ones((CHUNK, 1), jnp.float32)
-            c_a = jnp.concatenate(
-                [col("col_r"), col("col_g"), col("col_b"), ones], axis=1
-            )
-            ct_rgb3 = _dot_accum(c_a, ct[0:4])       # (CHUNK, NPX)
+            # per-pair-value x cotangent contractions have K=4/K=6 — the MXU
+            # pads such contractions to K=128 (6-16x wasted array cycles), so
+            # evaluate them as exact f32 VPU broadcasts instead (same change
+            # as PLANE_EVAL="vpu" for the forward planes)
+            ct_rgb3 = (
+                col("col_r") * ct[0:1] + col("col_g") * ct[1:2]
+                + col("col_b") * ct[2:3] + ct[3:4]
+            )                                        # (CHUNK, NPX)
             sdot_a = alpha * ct_rgb3
             if not albedo_only:
-                c_n = jnp.concatenate(
-                    [col("nrm_x"), col("nrm_y"), col("nrm_z"), col("depth")],
-                    axis=1,
+                sdot_a = sdot_a + (
+                    col("nrm_x") * ct[8:9] + col("nrm_y") * ct[9:10]
+                    + col("nrm_z") * ct[10:11] + col("depth") * ct[11:12]
                 )
-                sdot_a = sdot_a + _dot_accum(c_n, ct[8:12])
 
             p_a = sdot_a * gw_a
             bpref_a = state[2:3] + _prefix_rows(p_a, inclusive=True)
@@ -656,11 +651,12 @@ def _make_backward_kernel(idx, f_pad, albedo_only):
                     cumg = _prefix_rows(lgg, inclusive=False)
                     e_g = jnp.exp(cumg + state[1:2])
                 gw_g = g * e_g
-                c_g = jnp.concatenate(
-                    [col("ws_x"), col("ws_y"), col("ws_z"), ones,
-                     col("metal"), col("rough")], axis=1,
+                # K=6 contraction -> exact f32 VPU broadcasts (see ct_rgb3)
+                sdot_g = (
+                    col("ws_x") * ct_g6[0:1] + col("ws_y") * ct_g6[1:2]
+                    + col("ws_z") * ct_g6[2:3] + ct_g6[3:4]
+                    + col("metal") * ct_g6[4:5] + col("rough") * ct_g6[5:6]
                 )
-                sdot_g = _dot_accum(c_g, ct_g6)
                 p_g = sdot_g * gw_g
                 bpref_g = state[3:4] + _prefix_rows(p_g, inclusive=True)
                 dgg = -(res_g - bpref_g) / jnp.maximum(1.0 - g, 1e-4)
@@ -815,7 +811,7 @@ def _make_min_depth_kernel(idx, f_pad):
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-        out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
+        out_ref[...] = acc[...][None]
 
     return kernel
 
@@ -861,7 +857,7 @@ def _make_overdraw_kernel(idx, f_pad):
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-        out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
+        out_ref[...] = acc[...][None]
 
     return kernel
 
@@ -873,7 +869,7 @@ def _single_channel_call(kernel, fields, tile_starts, height_arr, ty, tx,
         grid=(ty, tx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+            (1, 1, NPX), lambda i, j, *_: (i * tx + j, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, NPX), jnp.float32),
@@ -881,14 +877,15 @@ def _single_channel_call(kernel, fields, tile_starts, height_arr, ty, tx,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (1, ty * TILE_H, tx * TILE_W), jnp.float32
+            (ty * tx, 1, NPX), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_starts, height_arr, fields)
+    return _tiles_to_image(out_t, ty, tx, 1)
 
 
 def min_depth_tiles(binned: B.BinnedPairs, height_arr, ty, tx, interpret):
@@ -931,6 +928,31 @@ def composite_tiles(fields, tile_starts, height_arr, ty, tx,
     return out
 
 
+def _tiles_to_image(out_t, ty, tx, ch):
+    """(ty*tx, ch, NPX) tile-major kernel output -> (ch, ty*TILE_H,
+    tx*TILE_W) image. Mosaic requires output blocks whose trailing dims are
+    (8k, 128k)-divisible, so kernels write flat (1, ch, NPX) tile rows and
+    this ONE XLA transpose (~133 MB at 1080p, well under a ms) assembles the
+    image; pixel q of a tile is (y, x) = (q // TILE_W, q % TILE_W), matching
+    _pixel_features."""
+    return (
+        out_t.reshape(ty, tx, ch, TILE_H, TILE_W)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(ch, ty * TILE_H, tx * TILE_W)
+    )
+
+
+def _image_to_tiles(img, ty, tx):
+    """Inverse of _tiles_to_image: (ch, ty*TILE_H, tx*TILE_W) ->
+    (ty*tx, ch, NPX)."""
+    ch = img.shape[0]
+    return (
+        img.reshape(ch, ty, TILE_H, tx, TILE_W)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(ty * tx, ch, NPX)
+    )
+
+
 def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
                    albedo_only):
     variant = "albedo" if albedo_only else "full"
@@ -941,7 +963,7 @@ def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
         grid=(ty, tx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (NUM_CH, TILE_H, TILE_W), lambda i, j, *_: (0, i, j),
+            (1, NUM_CH, NPX), lambda i, j, *_: (i * tx + j, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((NUM_CH, NPX), jnp.float32),
@@ -949,14 +971,15 @@ def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    out_t = pl.pallas_call(
         _make_forward_kernel(idx, f_pad, albedo_only),
         out_shape=jax.ShapeDtypeStruct(
-            (NUM_CH, ty * TILE_H, tx * TILE_W), jnp.float32
+            (ty * tx, NUM_CH, NPX), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_starts, height_arr, fields)
+    out = _tiles_to_image(out_t, ty, tx, NUM_CH)
     return out, (fields, tile_starts, height_arr, out)
 
 
@@ -966,8 +989,10 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
     # per-pixel Btot per group, + the T-channels' own cotangent contribution
     res_a = sum(out[c] * ct[c] for c in ALPHA_GROUP) + ct[CH_TA] * out[CH_TA]
     res_g = sum(out[c] * ct[c] for c in G_GROUP) + ct[CH_TG] * out[CH_TG]
-    res_a = res_a[None]
-    res_g = res_g[None]
+    # kernel inputs ride the flat tile-major layout (see _tiles_to_image)
+    ct_t = _image_to_tiles(ct, ty, tx)
+    res_a_t = _image_to_tiles(res_a[None], ty, tx)
+    res_g_t = _image_to_tiles(res_g[None], ty, tx)
 
     variant = "albedo" if albedo_only else "full"
     idx = B.field_index(variant)
@@ -977,9 +1002,9 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
         grid=(ty, tx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((NUM_CH, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j, *_: (0, i, j)),
+            pl.BlockSpec((1, NUM_CH, NPX), lambda i, j, *_: (i * tx + j, 0, 0)),
+            pl.BlockSpec((1, 1, NPX), lambda i, j, *_: (i * tx + j, 0, 0)),
+            pl.BlockSpec((1, 1, NPX), lambda i, j, *_: (i * tx + j, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -999,7 +1024,7 @@ def _composite_bwd(ty, tx, interpret, albedo_only, residuals, ct):
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, height_arr, fields, ct, res_a, res_g)
+    )(tile_starts, height_arr, fields, ct_t, res_a_t, res_g_t)
 
     # windows past the last live pair were never written (uninitialized);
     # dead-sentinel rows must carry zero gradient back through the unsort

@@ -91,7 +91,9 @@ def test_binning_pairs_cover_dense_coverage():
     for r in range(H):
         for c in range(W):
             if covered[r, c]:
-                tiles_with_coverage[r // 8, c // 128] = True
+                tiles_with_coverage[
+                    r // binning.TILE_H, c // binning.TILE_W
+                ] = True
     assert np.all(counts.reshape(ty, tx)[tiles_with_coverage] > 0)
 
 
