@@ -278,7 +278,11 @@ def convert(
     46-51), made observable instead of silent.
     atlas: optional pack_atlas(material) result — skips the per-call tap
     atlas build (the reference likewise uploads textures once at load,
-    not per ConversionPass dispatch)."""
+    not per ConversionPass dispatch). On the TPU kernel path the prebuilt
+    atlas is consumed bit-identically; on the CPU (pure-XLA) path moving
+    the build across the jit boundary can change fusion, which flips
+    ulp-level rounding (visible only for UVs landing exactly on bilinear
+    texel boundaries)."""
     return _convert_core(
         mesh, bbox_min, bbox_max, config,
         stack=None if atlas is not None else _material_stack(material),

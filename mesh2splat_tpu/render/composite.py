@@ -169,6 +169,12 @@ def _dott(a, b):
     return _dotf(jnp.transpose(a), b)
 
 
+# timing-probe knob for _dot_accum (module-level, trace-time; 3 = shipped
+# bf16x3 error compensation, 1 = single bf16 pass — A/B PROFILING ONLY,
+# 1 loses ~2^-8 relative accuracy on accumulated channels/gradients)
+ACCUM_PASSES = 3
+
+
 def _dot_accum(a, b, transpose_a=False):
     """Error-compensated bf16x3 matmul for ACCUMULATION sites (channel sums,
     gradient moments) — never for coverage-deciding planes. 3 DEFAULT MXU
@@ -179,8 +185,6 @@ def _dot_accum(a, b, transpose_a=False):
         a = jnp.transpose(a)
     a_hi = a.astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(x, y):
         return jax.lax.dot_general(
@@ -188,6 +192,10 @@ def _dot_accum(a, b, transpose_a=False):
             preferred_element_type=jnp.float32,
         )
 
+    if ACCUM_PASSES == 1:
+        return dot(a_hi, b_hi)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
