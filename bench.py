@@ -1,6 +1,7 @@
 """Benchmark: conversions/s on the flagship pipeline, run on real TPU.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the FIRST stdout line, emitted immediately after the
+conversion measurement so a driver timeout can never eat it):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference claims "<0.5 ms" per mesh->3DGS conversion on an
@@ -10,17 +11,31 @@ vs_baseline = ours / 2000.
 The benchmark converts a SciFiHelmet-scale synthetic mesh (20k triangles,
 512x512 textures) at resolutionTarget 512 — one full mesh->splat conversion
 per iteration, matching the reference's ConversionPass unit of work
-(ConversionPass.cpp:9-68) — and additionally reports rasterizer throughput
-in the human-readable preamble on stderr.
+(ConversionPass.cpp:9-68).
+
+Everything after the JSON line is best-effort secondary telemetry
+(1080p raster fwd, per-stage split, bwd/fwd ratio, shadow cubemap), each
+section printed to stderr the moment it is measured and individually guarded
+both by try/except and by a wall-clock budget (BENCH_BUDGET_S, default 420 s
+including compiles) so a slow compile can only cost the remaining sections,
+never the record.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.perf_counter() - _T_START)
 
 
 def synth_mesh(n_tri=20_000, tex=512, seed=0):
@@ -80,9 +95,143 @@ def synth_mesh(n_tri=20_000, tex=512, seed=0):
     return mesh, mat
 
 
-def main():
+def _log(msg):
+    print(f"[{time.perf_counter() - _T_START:6.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _secondary_metrics(sp, cfg, count):
+    """Best-effort 1080p raster telemetry. Each sub-section prints as soon as
+    it has a number and checks the remaining wall-clock budget before
+    starting its next compile."""
     import jax
     import jax.numpy as jnp
+
+    from mesh2splat_tpu.ops.projection import project_splats
+    from mesh2splat_tpu.render.binning import calibrate_overflow
+    from mesh2splat_tpu.render.tiled import rasterize_tiled
+    from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
+
+    wpx, hpx = 1920, 1080
+    cam = make_camera(
+        eye=[0, 0, 3.2], center=[0, 0, 0], up=[0, 1, 0],
+        fov_y_rad=np.pi / 3, width=wpx, height=hpx,
+    )
+
+    def project(splats):
+        return project_splats(
+            splats, cam, std_dev=cfg.scale_multiplier,
+            render_mode=RenderMode.ALBEDO,
+            splat_format=SplatFormat.MESH2SPLAT,
+        )
+
+    proj_j = jax.jit(project)
+    # size the class-C overflow budget to the scene once (identical
+    # output to any larger budget; cost is ~linear in the budget)
+    pair_cap = calibrate_overflow(proj_j(sp), wpx, hpx)
+    _log(f"calibrated overflow budget={pair_cap}")
+
+    def fwd(splats):
+        return rasterize_tiled(
+            project(splats), wpx, hpx, pair_capacity=pair_cap,
+            albedo_only=True,
+        )["albedo"]
+
+    def _t(f, *a, n=10):
+        out = f(*a)
+        jax.block_until_ready(out)
+        tt = time.perf_counter()
+        for _ in range(n):
+            out = f(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - tt) / n * 1e3
+
+    fwd_j = jax.jit(fwd)
+    t_fwd = _t(fwd_j, sp) / 1e3
+    msplats = count / t_fwd / 1e6
+    _log(f"raster 1080p fwd: {t_fwd*1e3:.2f} ms ({msplats:.1f} Msplats/s)")
+
+    # per-stage forward split (round-3 verdict: the bench must print the
+    # breakdown so the next optimization target is measured, not guessed)
+    try:
+        if _remaining() < 90:
+            raise RuntimeError(f"budget ({_remaining():.0f}s left)")
+        from mesh2splat_tpu.render import binning as B
+        from mesh2splat_tpu.render import composite as C
+
+        proj = proj_j(sp)
+        bin_j = jax.jit(lambda p: B.bin_pairs(
+            p, wpx, hpx, pair_cap, variant="albedo"))
+        binned = bin_j(proj)
+        ty_n, tx_n = B.tiles_for(wpx, hpx)
+        h_arr = jnp.asarray([hpx], jnp.int32)
+        comp_j = jax.jit(lambda f, s: C.composite_tiles(
+            f, s, h_arr, ty_n, tx_n, False, True))
+        _log(
+            f"fwd stages: project {_t(proj_j, sp):.2f} ms | "
+            f"bin {_t(bin_j, proj):.2f} ms | composite "
+            f"{_t(comp_j, binned.fields, binned.tile_starts):.2f} ms"
+        )
+    except Exception as e:
+        _log(f"fwd stage split skipped: {e}")
+
+    # bwd/fwd ratio (BASELINE.md tracked metric)
+    try:
+        if _remaining() < 120:
+            raise RuntimeError(f"budget ({_remaining():.0f}s left)")
+        import dataclasses
+
+        def loss(pos, color, scale, quat):
+            s2 = dataclasses.replace(
+                sp, pos=pos, color=color, scale=scale, quat=quat
+            )
+            return jnp.mean(fwd(s2))
+
+        grad_j = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        args_g = (sp.pos, sp.color, sp.scale, sp.quat)
+        t_fb = _t(grad_j, *args_g) / 1e3
+        ratio = max(t_fb - t_fwd, 0.0) / t_fwd
+        _log(f"raster 1080p fwd+bwd: {t_fb*1e3:.2f} ms, bwd/fwd {ratio:.2f}")
+    except Exception as e:
+        _log(f"bwd/fwd skipped: {e}")
+
+    # shadow cubemap (round-4 verdict: commit a shadow number)
+    try:
+        if _remaining() < 60:
+            raise RuntimeError(f"budget ({_remaining():.0f}s left)")
+        from mesh2splat_tpu.render.shadows import (
+            _shadow_prep_fused, render_shadow_cubemap,
+        )
+
+        light = jnp.asarray([0.5, 1.5, 2.0], jnp.float32)
+        far = jnp.float32(10.0)
+        # calibrate the pair budget once (scene-load-time work), then time
+        # the steady-state per-frame pass at a fixed capacity
+        _, _, need = _shadow_prep_fused(
+            sp, light, far, cfg.scale_multiplier, 1024
+        )
+        cap = 1 << max(int(need) - 1, 8192).bit_length()
+
+        def shadow_fn(s):
+            return render_shadow_cubemap(
+                s, light, far=far, size=1024,
+                std_dev=cfg.scale_multiplier, pair_capacity=cap,
+            ).faces
+
+        t_sh = _t(shadow_fn, sp, n=5)
+        _log(f"shadow cubemap 1024^2 x6: {t_sh:.2f} ms")
+    except Exception as e:
+        _log(f"shadow skipped: {e}")
+
+
+def main():
+    import jax
+
+    from mesh2splat_tpu.utils.cache import enable_compile_cache
+
+    # persistent on-disk compile cache: first compiles over the tunneled TPU
+    # run minutes; the driver's official run must not pay them again
+    _log(f"compile cache: {enable_compile_cache()}")
 
     from mesh2splat_tpu.ops.conversion import (
         ConversionConfig, calibrate, convert, pack_atlas,
@@ -95,7 +244,7 @@ def main():
     # cost in capacity; the reference analogously pays only for live
     # fragments via atomic appends, ConversionPass.cpp:20-33)
     cfg = calibrate(mesh, lo, hi, cfg)
-    print(f"calibrated capacity={cfg.capacity}", file=sys.stderr)
+    _log(f"calibrated capacity={cfg.capacity}")
 
     # pack the material's tap atlas ONCE — the analogue of the reference
     # uploading textures at scene load, not per ConversionPass dispatch
@@ -107,129 +256,32 @@ def main():
     sp = fn(mesh)
     jax.block_until_ready(sp)
     count = int(sp.count())
-    print(f"device={jax.devices()[0]}, splats={count}/{cfg.capacity}", file=sys.stderr)
+    _log(f"device={jax.devices()[0]}, splats={count}/{cfg.capacity}")
 
     iters = 20
-    # force a scalar readback each iteration so timing includes completion
     t0 = time.perf_counter()
     for _ in range(iters):
         sp = fn(mesh)
     jax.block_until_ready(sp)
     dt = (time.perf_counter() - t0) / iters
     conv_per_s = 1.0 / dt
+    _log(f"conversion: {dt*1e3:.2f} ms/mesh ({conv_per_s:.1f}/s)")
 
-    print(f"conversion: {dt*1e3:.2f} ms/mesh ({conv_per_s:.1f}/s)", file=sys.stderr)
-
-    # --- secondary tracked metrics (BASELINE.md): rasterizer Msplats/s and
-    # bwd/fwd ratio at 1080p on the converted model --------------------------
-    try:
-        from mesh2splat_tpu.ops.projection import project_splats
-        from mesh2splat_tpu.render.tiled import rasterize_tiled
-        from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
-
-        from mesh2splat_tpu.render.binning import calibrate_overflow
-
-        wpx, hpx = 1920, 1080
-        cam = make_camera(
-            eye=[0, 0, 3.2], center=[0, 0, 0], up=[0, 1, 0],
-            fov_y_rad=np.pi / 3, width=wpx, height=hpx,
-        )
-
-        def project(splats):
-            return project_splats(
-                splats, cam, std_dev=cfg.scale_multiplier,
-                render_mode=RenderMode.ALBEDO,
-                splat_format=SplatFormat.MESH2SPLAT,
-            )
-
-        # size the class-C overflow budget to the scene once (identical
-        # output to any larger budget; cost is ~linear in the budget)
-        pair_cap = calibrate_overflow(jax.jit(project)(sp), wpx, hpx)
-        print(f"calibrated overflow budget={pair_cap}", file=sys.stderr)
-
-        def fwd(splats):
-            return rasterize_tiled(
-                project(splats), wpx, hpx, pair_capacity=pair_cap,
-                albedo_only=True,
-            )["albedo"]
-
-        fwd_j = jax.jit(fwd)
-        img = fwd_j(sp)
-        jax.block_until_ready(img)
-        it2 = 10
-        t0 = time.perf_counter()
-        for _ in range(it2):
-            img = fwd_j(sp)
-        jax.block_until_ready(img)
-        t_fwd = (time.perf_counter() - t0) / it2
-
-        # per-stage forward split (round-3 verdict: the bench must print the
-        # breakdown so the next optimization target is measured, not guessed)
-        def _t(f, *a, n=it2):
-            out = f(*a)
-            jax.block_until_ready(out)
-            tt = time.perf_counter()
-            for _ in range(n):
-                out = f(*a)
-            jax.block_until_ready(out)
-            return (time.perf_counter() - tt) / n * 1e3
-
-        try:
-            from mesh2splat_tpu.render import binning as B
-            from mesh2splat_tpu.render import composite as C
-
-            proj_j = jax.jit(project)
-            proj = proj_j(sp)
-            bin_j = jax.jit(lambda p: B.bin_pairs(
-                p, wpx, hpx, pair_cap, variant="albedo"))
-            binned = bin_j(proj)
-            ty_n, tx_n = B.tiles_for(wpx, hpx)
-            h_arr = jnp.asarray([hpx], jnp.int32)
-            comp_j = jax.jit(lambda f, s: C.composite_tiles(
-                f, s, h_arr, ty_n, tx_n, False, True))
-            print(
-                f"fwd stages: project {_t(proj_j, sp):.2f} ms | "
-                f"bin {_t(bin_j, proj):.2f} ms | composite "
-                f"{_t(comp_j, binned.fields, binned.tile_starts):.2f} ms",
-                file=sys.stderr,
-            )
-        except Exception as e:
-            print(f"fwd stage split skipped: {e}", file=sys.stderr)
-
-        import dataclasses
-
-        def loss(pos, color, scale, quat):
-            s2 = dataclasses.replace(
-                sp, pos=pos, color=color, scale=scale, quat=quat
-            )
-            return jnp.mean(fwd(s2))
-
-        grad_j = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
-        args_g = (sp.pos, sp.color, sp.scale, sp.quat)
-        gr = grad_j(*args_g)
-        jax.block_until_ready(gr)
-        t0 = time.perf_counter()
-        for _ in range(it2):
-            gr = grad_j(*args_g)
-        jax.block_until_ready(gr)
-        t_fb = (time.perf_counter() - t0) / it2
-        ratio = max(t_fb - t_fwd, 0.0) / t_fwd
-
-        msplats = count / t_fwd / 1e6
-        print(
-            f"raster 1080p: {t_fwd*1e3:.2f} ms fwd ({msplats:.1f} Msplats/s), "
-            f"fwd+bwd {t_fb*1e3:.2f} ms, bwd/fwd {ratio:.2f}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # secondary metrics must never kill the bench
-        print(f"raster metrics skipped: {e}", file=sys.stderr)
-
+    # THE RECORD — first stdout line, before any raster compiles, so a
+    # driver timeout on the secondary sections can never eat it
     print(json.dumps({
         "metric": "mesh2splat_conversions_per_s",
         "value": round(conv_per_s, 2),
         "unit": "conversions/s (20k-tri mesh, res 512, full PBR)",
         "vs_baseline": round(conv_per_s / 2000.0, 4),
     }))
+    sys.stdout.flush()
+
+    try:  # secondary metrics must never kill the bench
+        _secondary_metrics(sp, cfg, count)
+    except Exception as e:
+        _log(f"raster metrics skipped: {e}")
+    _log("bench done")
 
 
 if __name__ == "__main__":

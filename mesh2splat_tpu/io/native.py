@@ -14,25 +14,36 @@ import subprocess
 import numpy as np
 
 def _find_csrc() -> pathlib.Path:
-    """Locate the native sources: M2S_NATIVE_DIR override, the repo
-    checkout's ./csrc (editable install), or csrc shipped inside the
-    package (wheel package-data)."""
+    """Locate the native sources: M2S_NATIVE_DIR override, else csrc/
+    shipped inside the package (both editable installs and wheels — the
+    sources live at mesh2splat_tpu/csrc and ride along as package-data)."""
     import os
 
     env = os.environ.get("M2S_NATIVE_DIR")
     if env:
         return pathlib.Path(env)
     here = pathlib.Path(__file__).resolve()
-    for cand in (here.parents[2] / "csrc", here.parents[1] / "csrc"):
-        if cand.is_dir():
-            return cand
-    return here.parents[2] / "csrc"
+    return here.parents[1] / "csrc"
 
 
 _CSRC = _find_csrc()
-_LIB_PATH = _CSRC / "libm2s_native.so"
 _lib = None
 _tried = False
+
+
+def _lib_path() -> pathlib.Path:
+    """Build target: next to the sources when that directory is writable
+    (repo checkout / editable install), else a per-user cache dir (wheel
+    installed into a read-only site-packages)."""
+    import os
+
+    if os.access(_CSRC, os.W_OK):
+        return _CSRC / "libm2s_native.so"
+    cache = pathlib.Path(
+        os.environ.get("XDG_CACHE_HOME", pathlib.Path.home() / ".cache")
+    ) / "mesh2splat_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache / "libm2s_native.so"
 
 
 def _load():
@@ -42,13 +53,15 @@ def _load():
     _tried = True
     try:
         srcs = [_CSRC / "ply_codec.cpp", _CSRC / "glb_decode.cpp"]
-        if not _LIB_PATH.exists() or any(
-            _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
+        lib_path = _lib_path()
+        if not lib_path.exists() or any(
+            lib_path.stat().st_mtime < s.stat().st_mtime for s in srcs
         ):
             subprocess.run(
-                ["make", "-s"], cwd=_CSRC, check=True, capture_output=True
+                ["make", "-s", f"OUT={lib_path}"],
+                cwd=_CSRC, check=True, capture_output=True,
             )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(lib_path))
         lib.m2s_record_size.restype = ctypes.c_int
         lib.m2s_record_size.argtypes = [ctypes.c_int]
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

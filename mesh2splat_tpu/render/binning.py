@@ -336,14 +336,22 @@ def bin_pairs(
     # (tx0 <= tx-1 <= 126 in 7 bits, ty0 in 11, sx <= tx <= 127 in 7 —
     # guaranteed by the static guard above, so no silent clamping)
     packed_geom = tx0 | (ty0 << 7) | (sx << 18)
+    # Bit 30 is OR'd in before the int32->f32 bitcast so the lane holds a
+    # NORMAL float bit pattern (exponent != 0): both payloads are < 2^25,
+    # whose raw patterns are f32 denormals, and XLA does not guarantee
+    # denormals survive f32 data movement on TPU (a flush-to-zero would
+    # silently land every class-C pair on tile 0). Masked off after the
+    # gather; tests/test_tiled.py::test_bitcast_gather_roundtrip guards the
+    # round trip on-device at every variant's record width.
+    _B30 = np.int32(1 << 30)
     geom2f = jax.lax.bitcast_convert_type(
-        jnp.stack([off_c, packed_geom], axis=1), jnp.float32
+        jnp.stack([off_c | _B30, packed_geom | _B30], axis=1), jnp.float32
     )  # (N, 2) int32 bits in f32 lanes
     rec = jnp.concatenate(
         [geom2f, jnp.stack(vals + [depth], axis=1)], axis=1
     )  # (N, 2 + F + 1)
     rec_c = jax.lax.optimization_barrier(rec[owner_c])  # (C, 2 + F + 1)
-    gc = jax.lax.bitcast_convert_type(rec_c[:, 0:2], jnp.int32)
+    gc = jax.lax.bitcast_convert_type(rec_c[:, 0:2], jnp.int32) & ~_B30
     local_c = jnp.arange(c_capacity, dtype=jnp.int32) - gc[:, 0]
     tc = gc[:, 1]
     tx0_c = tc & 127

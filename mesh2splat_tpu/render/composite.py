@@ -348,8 +348,9 @@ def _make_forward_kernel(idx, f_pad, albedo_only):
     (position/metal-rough) and normal/depth — the training hot path only
     consumes premultiplied rgba. DMA is double-buffered: chunk c+1 streams in
     while chunk c composites. Accumulators live in a (NUM_CH, NPX) scratch
-    (rows 14/15 hold LOG transmittances) and are reshaped into the output
-    block once per tile."""
+    (rows CH_TA/CH_TG hold transmittances: linear products init 1.0 under
+    TRANSMIT="prod", log-space sums under "log") and are reshaped into the
+    output block once per tile."""
 
     def _forward_kernel(
         starts_ref,          # scalar prefetch: (num_tiles + 1,) int32

@@ -55,6 +55,7 @@ def render_gbuffer(
     camera: Camera,
     config: FrameConfig,
     depth_map: jax.Array | None = None,
+    model_to_world: jax.Array | None = None,
 ):
     """Prepass + sort/bin + composite -> splat G-buffer dict."""
     proj = project_splats(
@@ -65,6 +66,7 @@ def render_gbuffer(
         splat_format=config.splat_format,
         has_pbr=config.has_pbr,
         depth_map=depth_map,
+        model_to_world=model_to_world,
     )
     if config.use_tiled:
         return rasterize_tiled(
@@ -81,7 +83,7 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _frame_core(splats, camera, light, mesh, material, cubemap,
-                config: FrameConfig):
+                config: FrameConfig, model_to_world=None):
     """Everything after shadow-map rendering, fused into ONE dispatch (eager
     op-by-op orchestration costs ~50ms/dispatch on a tunneled device)."""
     depth_map = None
@@ -94,7 +96,8 @@ def _frame_core(splats, camera, light, mesh, material, cubemap,
         # top-first, so flip
         depth_map = depth_ndc[::-1]
 
-    gbuffer = render_gbuffer(splats, camera, config, depth_map=depth_map)
+    gbuffer = render_gbuffer(splats, camera, config, depth_map=depth_map,
+                             model_to_world=model_to_world)
 
     shadow = None
     if cubemap is not None:
@@ -108,7 +111,8 @@ def _frame_core(splats, camera, light, mesh, material, cubemap,
 
 
 def calibrate_frame(
-    splats: Splats, camera: Camera, config: FrameConfig
+    splats: Splats, camera: Camera, config: FrameConfig,
+    model_to_world: jax.Array | None = None,
 ) -> FrameConfig:
     """Size the rasterizer's class-C overflow budget to this scene+view
     (pow2-rounded so similar frames share a compile). One host readback;
@@ -118,7 +122,7 @@ def calibrate_frame(
     proj = project_splats(
         splats, camera, std_dev=config.std_dev,
         render_mode=config.render_mode, splat_format=config.splat_format,
-        has_pbr=config.has_pbr,
+        has_pbr=config.has_pbr, model_to_world=model_to_world,
     )
     p = int(required_overflow(proj, config.width, config.height))
     up = lambda v: 1 << max(int(v) - 1, 8192).bit_length()
@@ -132,27 +136,35 @@ def render_frame(
     light: PointLight | None = None,
     mesh: TriangleMesh | None = None,
     material: Material | None = None,
+    model_to_world: jax.Array | None = None,
 ):
     """Full frame to a (H, W, 3) image. Optional mesh enables the depth
-    prepass (occlusion culling) when config.depth_test_mesh is set."""
+    prepass (occlusion culling) when config.depth_test_mesh is set.
+
+    model_to_world: optional (4, 4) per-model transform applied to splat
+    positions/rotations/scales at projection time (the reference's gizmo
+    path: UpdateTransforms -> renderer.cpp:178-206; compose one with
+    types.compose_trs)."""
     light = light or PointLight.default()
 
     # an unset class-C pair budget silently dropped wide-span pairs on
     # close-up scenes (round-2 weak #3): size it to the scene instead (one
     # host readback; pow2-rounded so similar frames share the compile)
     if config.use_tiled and config.pair_capacity == 0:
-        config = calibrate_frame(splats, camera, config)
+        config = calibrate_frame(splats, camera, config,
+                                 model_to_world=model_to_world)
 
     cubemap = None
     if config.shadows and int(config.render_mode) == int(RenderMode.FINAL):
         cubemap = render_shadow_cubemap(
             splats, light.position, far=25.0, std_dev=config.std_dev,
-            size=config.shadow_size,
+            size=config.shadow_size, model_to_world=model_to_world,
         )
 
     return _frame_core(
         splats, camera, light,
         mesh if config.depth_test_mesh else None, material, cubemap, config,
+        model_to_world=model_to_world,
     )
 
 

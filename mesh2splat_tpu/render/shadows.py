@@ -98,16 +98,18 @@ def dominant_face(d):
 
 
 @partial(jax.jit, static_argnames=("size",))
-def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
+def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int,
+                 model_to_world=None):
     """One fused dispatch: face assignment, radial depths, all 6 face
     projections, and per-face (pair, col) budget requirements. Eager op-by-
     op orchestration costs ~50ms/dispatch on a tunneled device, so the whole
     prep is a single program."""
     from .binning import required_overflow
 
-    splat_face = dominant_face(splats.pos - light_pos)
+    ws = _world_pos(splats, model_to_world)
+    splat_face = dominant_face(ws - light_pos)
     cams = face_cameras(light_pos, far, size)
-    radial = jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
+    radial = jnp.linalg.norm(ws - light_pos, axis=-1) / far
 
     projs, needs = [], []
     for f in range(6):
@@ -115,14 +117,25 @@ def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int):
         pr = project_splats(
             dataclasses.replace(splats, valid=in_face), cams[f],
             std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
+            model_to_world=model_to_world,
         )
         projs.append(pr)
         needs.append(required_overflow(pr, size, size))
     return radial, tuple(projs), jnp.stack(needs)
 
 
+def _world_pos(splats: Splats, model_to_world):
+    """Splat centers in world space (the shadow CS applies the model matrix
+    before face binning, G9 parity)."""
+    if model_to_world is None:
+        return splats.pos
+    M = model_to_world
+    return splats.pos @ M[:3, :3].T + M[:3, 3]
+
+
 @partial(jax.jit, static_argnames=("size",))
-def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int):
+def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int,
+                       model_to_world=None):
     """Fused-cubemap prep: ONE merged projection over all 6 faces.
 
     Each splat belongs to exactly one face (dominant light-space direction,
@@ -137,13 +150,15 @@ def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int):
     dispatches with up to 6 compile variants."""
     from .binning import TILE_H, required_overflow
 
-    splat_face = dominant_face(splats.pos - light_pos)
+    ws = _world_pos(splats, model_to_world)
+    splat_face = dominant_face(ws - light_pos)
     cams = face_cameras(light_pos, far, size)
-    radial = jnp.linalg.norm(splats.pos - light_pos, axis=-1) / far
+    radial = jnp.linalg.norm(ws - light_pos, axis=-1) / far
 
     projs = [
         project_splats(splats, cams[f], std_dev=std_dev,
-                       splat_format=SplatFormat.MESH2SPLAT)
+                       splat_format=SplatFormat.MESH2SPLAT,
+                       model_to_world=model_to_world)
         for f in range(6)
     ]
 
@@ -211,6 +226,7 @@ def render_shadow_cubemap(
     chunk: int = 256,
     method: str = "auto",
     pair_capacity: int = 0,
+    model_to_world=None,
 ) -> ShadowCubemap:
     """Render all 6 faces. Defaults to the reference's 1024^2 faces
     (GaussianShadowPass.cpp:14-19).
@@ -230,16 +246,23 @@ def render_shadow_cubemap(
         method = "tiled" if size >= 512 or splats.capacity > 65536 else "dense"
 
     if method == "tiled":
-        if size % 8:
-            raise ValueError("tiled shadow size must be a multiple of 8")
+        from .binning import TILE_H
+
+        if size % TILE_H:
+            # _shadow_prep_fused's per-face band scissor assumes each face
+            # is a whole number of tile rows; a misaligned size would bleed
+            # bands across faces
+            raise ValueError(
+                f"tiled shadow size must be a multiple of {TILE_H}"
+            )
         merged, band, need = _shadow_prep_fused(
-            splats, light_pos, far, std_dev, size
+            splats, light_pos, far, std_dev, size, model_to_world
         )
         cap = pair_capacity or (1 << max(int(need) - 1, 8192).bit_length())
         faces = _fused_min_raster(merged, band, size, cap)
     else:
         radial, projs, _ = _shadow_prep(
-            splats, light_pos, far, std_dev, size
+            splats, light_pos, far, std_dev, size, model_to_world
         )
         faces = jnp.stack([
             _min_rasterize_face(projs[f], radial, size, chunk)

@@ -102,8 +102,16 @@ class Scene:
     def render(self, splats: Splats, eye, center=(0, 0, 0), up=(0, 1, 0),
                width=1280, height=720, fov_deg=60.0,
                mode: RenderMode = RenderMode.ALBEDO, shadows=False,
-               light=None):
+               light=None, model_transform=None):
+        """model_transform: optional per-model transform — a (4, 4) matrix,
+        or a (translation, rotation_wxyz, scale) TRS tuple composed via
+        types.compose_trs — the reference's gizmo path (ImGuizmo ->
+        UpdateTransforms -> renderer.cpp:178-206)."""
         from .render.pipeline import FrameConfig, render_frame
+        from .types import compose_trs
+
+        if model_transform is not None and isinstance(model_transform, tuple):
+            model_transform = compose_trs(*model_transform)
 
         cam = make_camera(eye=list(eye), center=list(center), up=list(up),
                           fov_y_rad=np.deg2rad(fov_deg),
@@ -118,8 +126,9 @@ class Scene:
         )
         from .render.pipeline import calibrate_frame
 
-        fc = calibrate_frame(splats, cam, fc)
-        return render_frame(splats, cam, fc, light=light)
+        fc = calibrate_frame(splats, cam, fc, model_to_world=model_transform)
+        return render_frame(splats, cam, fc, light=light,
+                            model_to_world=model_transform)
 
     # ---------------------------------------------------------------- export
 

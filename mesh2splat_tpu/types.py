@@ -255,6 +255,28 @@ def perspective(fov_y_rad, aspect, near, far) -> np.ndarray:
     return m
 
 
+def compose_trs(translation=(0, 0, 0), rotation_wxyz=(1, 0, 0, 0),
+                scale=(1, 1, 1)):
+    """Compose a 4x4 model-to-world matrix from translate/rotate/scale — the
+    per-model gizmo transform of the reference (ImGuizmo panel ->
+    UpdateTransforms -> renderer.cpp:178-206). Quaternion in the project's
+    (w, x, y, z) convention (common.glsl:22-47). Traceable (jnp)."""
+    t = jnp.asarray(translation, jnp.float32)
+    s = jnp.asarray(scale, jnp.float32)
+    q = jnp.asarray(rotation_wxyz, jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    r = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)]),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)]),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]),
+    ])
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(r * s[None, :])
+    m = m.at[:3, 3].set(t)
+    return m
+
+
 def make_camera(eye, center, up, fov_y_rad, width, height, near=0.1, far=100.0) -> Camera:
     return Camera(
         world_to_view=jnp.asarray(look_at(eye, center, up)),

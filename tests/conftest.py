@@ -20,5 +20,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compile cache: the suite's wall time is dominated by XLA CPU
+# compiles of the big fused programs; cache them across runs
+from mesh2splat_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8

@@ -141,3 +141,56 @@ def test_fly_camera_controller():
     assert cam.fov_deg == 1.0      # clamp (Camera.cpp:65-74)
     c = cam.camera(64, 48)
     assert c.width == 64 and c.height == 48
+
+
+def test_model_transform_matches_moved_camera():
+    """render_frame(model_to_world=translate(d)) must equal rendering the
+    untransformed model from a camera shifted by -d — the reference's gizmo
+    semantics (UpdateTransforms -> renderer.cpp:178-206) exposed through
+    Scene/FrameConfig (round-4 verdict missing #5)."""
+    from mesh2splat_tpu.render.pipeline import FrameConfig, render_frame
+    from mesh2splat_tpu.types import compose_trs
+
+    mesh = quad_mesh()
+    cfg = ConversionConfig(resolution=32, layers=3)
+    lo, hi = mesh.bbox()
+    sp = convert(mesh, Material.default(), lo, hi, cfg)
+
+    d = np.array([0.3, -0.2, 0.1], np.float32)
+    fc = FrameConfig(width=128, height=128, render_mode=RenderMode.ALBEDO,
+                     splat_format=SplatFormat.MESH2SPLAT,
+                     resolution_target=cfg.resolution, use_tiled=False)
+
+    cam = make_camera(eye=[0, 0, 2], center=[0, 0, 0], up=[0, 1, 0],
+                      fov_y_rad=np.pi / 3, width=128, height=128)
+    moved = render_frame(
+        sp, cam, fc, model_to_world=compose_trs(translation=d)
+    )
+
+    cam_shift = make_camera(eye=[0, 0, 2] - d, center=[0, 0, 0] - d,
+                            up=[0, 1, 0], fov_y_rad=np.pi / 3,
+                            width=128, height=128)
+    equiv = render_frame(sp, cam_shift, fc)
+    np.testing.assert_allclose(np.asarray(moved), np.asarray(equiv),
+                               atol=1e-4)
+    # and the transform must actually change the image vs identity
+    base = render_frame(sp, cam, fc)
+    assert float(jnp.abs(moved - base).max()) > 1e-2
+
+
+def test_scene_render_accepts_trs(tmp_path):
+    """Scene.render(model_transform=TRS tuple) goes through compose_trs and
+    renders without error (CLI --translate/--rotate/--scale-model path)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from golden_asset import build_helmet_glb
+
+    from mesh2splat_tpu.scene import Scene
+
+    path = tmp_path / "m.glb"
+    build_helmet_glb(str(path))
+    sc = Scene.from_glb(str(path))
+    sp = sc.convert(resolution=64, layers=4)
+    img = sc.render(sp, eye=[0, 0, 3], width=96, height=64,
+                    model_transform=((0.1, 0, 0), (1, 0, 0, 0), (1, 1, 1.2)))
+    assert np.isfinite(np.asarray(img)).all()

@@ -191,9 +191,10 @@ def test_rasterize_sharded_matches_single_device():
     # the composite kernel's CHUNK boundaries (f32 association of the
     # transmittance products, and the 1/255 early-exit cut) fall differently
     # — a decomposition artifact bounded well below one 8-bit step (1/255 ~
-    # 3.9e-3); observed <= ~2e-4
+    # 3.9e-3); observed <= ~2e-4, so 5e-4 keeps ~2x headroom while still
+    # catching a real decomposition regression
     np.testing.assert_allclose(
-        np.asarray(banded), np.asarray(single), atol=1e-3
+        np.asarray(banded), np.asarray(single), atol=5e-4
     )
 
 

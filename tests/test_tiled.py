@@ -235,3 +235,37 @@ def test_binner_rejects_oversized_image():
     proj = project(sp)
     with pytest.raises(ValueError, match="packed-geometry"):
         binning.bin_pairs(proj, 128 * 130, 64)
+
+
+@pytest.mark.parametrize("variant", list(binning.VARIANT_FIELDS))
+def test_bitcast_gather_roundtrip(variant):
+    """On-device guard for the class-C merged gather's int32->f32 bitcast
+    lanes (binning.py): the packed geometry ints are OR'd with bit 30 so the
+    f32 lane is a NORMAL bit pattern (raw values < 2^25 are denormals, which
+    XLA does not promise to preserve through f32 data movement on TPU). This
+    exercises the exact op chain — stack / bitcast / concatenate / gather /
+    bitcast — at each variant's record width and asserts bit-exactness."""
+    nf = len(binning.VARIANT_FIELDS[variant])
+    n, c = 4096, 8192
+    rng = np.random.default_rng(7)
+    off = jnp.asarray(rng.integers(0, 1 << 24, n, dtype=np.int32))
+    geom = jnp.asarray(rng.integers(0, 1 << 25, n, dtype=np.int32))
+    vals = jnp.asarray(rng.standard_normal((n, nf + 1)).astype(np.float32))
+    owner = jnp.asarray(rng.integers(0, n, c, dtype=np.int32))
+
+    b30 = np.int32(1 << 30)
+
+    @jax.jit
+    def chain(off, geom, vals, owner):
+        geom2f = jax.lax.bitcast_convert_type(
+            jnp.stack([off | b30, geom | b30], axis=1), jnp.float32
+        )
+        rec = jnp.concatenate([geom2f, vals], axis=1)
+        rec_c = jax.lax.optimization_barrier(rec[owner])
+        gc = jax.lax.bitcast_convert_type(rec_c[:, 0:2], jnp.int32) & ~b30
+        return gc[:, 0], gc[:, 1], rec_c[:, 2:]
+
+    off_c, geom_c, vals_c = chain(off, geom, vals, owner)
+    np.testing.assert_array_equal(np.asarray(off_c), np.asarray(off)[np.asarray(owner)])
+    np.testing.assert_array_equal(np.asarray(geom_c), np.asarray(geom)[np.asarray(owner)])
+    np.testing.assert_array_equal(np.asarray(vals_c), np.asarray(vals)[np.asarray(owner)])
