@@ -17,12 +17,17 @@ scripts/ubench*.py):
     P-scale random-access passes (~236 ms at 3.5M pairs); this design pays
     approximately ONE sort that carries the field values themselves.
 
-  * (tile, splat) pair expansion is a FIXED-SLOT broadcast: each splat owns
-    K_SLOTS candidate rows covering the first K_SLOTS tiles of its span
-    rectangle in row-major order (slot j -> tile (ty0 + j // sx,
-    tx0 + j % sx)). Broadcast + reshape runs at HBM bandwidth — no segment
-    machinery, no gathers. Splats spanning more than K_SLOTS tiles go through
-    the exact budgeted expansion (class C) at a calibrated small capacity.
+  * (tile, splat) pair expansion is CLASS-SPLIT to minimize sorted rows
+    (round 5; sort cost is ~linear in rows x operands):
+      - class A: the FIRST tile of every valid splat's span rectangle.
+        One row per splat, no expansion machinery at all — the field
+        columns ARE the rows. Covers ~70% of all live pairs on the bench
+        scene (most splats span exactly one 32x32 tile).
+      - class C: tiles 2..span of multi-tile splats, through the exact
+        budgeted expansion (cumsum slot allocation + one merged gather) at
+        a calibrated small capacity.
+    Total sorted rows = N + c_capacity (~2.7M on the 1080p bench scene vs
+    5.2M for the round-4 fixed-3-slot broadcast — the sort halves).
 
   * ONE ``lax.sort`` over all candidate rows with keys (tile, view_depth
     [, rowid]), CARRYING every per-pair field column. Sorting on the f32
@@ -66,11 +71,6 @@ from ..ops.projection import ProjectedSplats
 
 TILE_H = 32
 TILE_W = 32
-# Fixed broadcast slots per splat. With (32,32) tiles the bench-scene span
-# histogram is dominated by 1x1/1x2/2x1 spans (covered exactly by 3 slots);
-# 2x2-and-wider spans go through the exact class-C expansion (~0.56M pairs
-# on the bench scene, calibrated).
-K_SLOTS = 3
 
 CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
 
@@ -252,8 +252,9 @@ def _record_columns(proj: ProjectedSplats, mean_px, variant: str):
 
 
 def default_c_capacity(n_splats: int) -> int:
-    """Uncalibrated class-C budget: generous (overflowing drops pairs of
-    wide-span splats). Callers with telemetry use calibrate_overflow."""
+    """Uncalibrated class-C budget: generous (overflowing drops the
+    beyond-first-tile pairs of multi-tile splats). Callers with telemetry
+    use calibrate_overflow."""
     return max(4 * n_splats, 1 << 13)
 
 
@@ -294,29 +295,17 @@ def bin_pairs(
     vals = _record_columns(proj, mean_px, variant)
     nf = len(vals)
 
-    # ---- class A: fixed-slot broadcast (no expansion machinery) ----------
-    # Slot-major (K_SLOTS, N) layout: flattening is K contiguous copies of
-    # each (N,) column — 1-D, no lane padding. (The round-2 (N, K_SLOTS)
-    # layout materialized every broadcast at T(8,128) with 128/K_SLOTS lane
-    # padding: ~1.2 ms x 12 columns of pure waste at 1.5M splats.) Pair
-    # order within equal (tile, depth) changes from (splat, slot) to
-    # (slot, splat) — exact-f32-depth ties only, same caveat as class C.
-    is_a = valid & (pairs_n <= K_SLOTS)
-    j = jnp.arange(K_SLOTS, dtype=jnp.int32)
-    dy_a = j[:, None] // sx[None, :]
-    dx_a = j[:, None] - dy_a * sx[None, :]
-    live_a = is_a[None, :] & (j[:, None] < pairs_n[None, :])
-    tile_a = ((ty0[None, :] + dy_a) * tx + tx0[None, :] + dx_a).reshape(-1)
-    live_a = live_a.reshape(-1)
+    # ---- class A: first tile of every valid splat — zero expansion -------
+    # One row per splat: the field columns ARE the rows, the tile is the
+    # span rectangle's row-major first tile (ty0, tx0). No broadcast, no
+    # gathers; ~70% of live pairs on the bench scene ride here.
+    live_a = valid
+    tile_a = ty0 * tx + tx0
+    depth_a = depth
+    vals_a = vals
 
-    def bcast(col):
-        return jnp.broadcast_to(col[None, :], (K_SLOTS, n)).reshape(-1)
-
-    depth_a = bcast(depth)
-    vals_a = [bcast(c) for c in vals]
-
-    # ---- class C: exact budgeted expansion for wide-span splats ----------
-    counts_c = jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0)
+    # ---- class C: exact budgeted expansion for tiles 2..span -------------
+    counts_c = jnp.where(valid & (pairs_n > 1), pairs_n - 1, 0)
     off_c, tot_c = segments.alloc_slots(counts_c, c_capacity)
     # ONE owner fill (scatter+cummax cost scales with the 1.5M producer
     # starts, ~14 ms each at this size — so fill once and recover `local`
@@ -352,7 +341,9 @@ def bin_pairs(
     )  # (N, 2 + F + 1)
     rec_c = jax.lax.optimization_barrier(rec[owner_c])  # (C, 2 + F + 1)
     gc = jax.lax.bitcast_convert_type(rec_c[:, 0:2], jnp.int32) & ~_B30
-    local_c = jnp.arange(c_capacity, dtype=jnp.int32) - gc[:, 0]
+    # +1: the span's first (row-major) tile rides in class A, so this
+    # segment's slot j is span tile j+1
+    local_c = jnp.arange(c_capacity, dtype=jnp.int32) - gc[:, 0] + 1
     tc = gc[:, 1]
     tx0_c = tc & 127
     ty0_c = (tc >> 7) & 2047
@@ -399,6 +390,14 @@ def bin_pairs(
     f_pad = padded_rows(variant)
     pad = [jnp.zeros((rows,), jnp.float32)] * (f_pad - nf)
     fields = jnp.stack(list(sorted_vals) + pad)  # (F_pad, rows)
+    # Pad the pair axis to a CHUNK multiple: the compositing kernels DMA
+    # [aligned, aligned + k*CHUNK) windows; with the compact N + cap row
+    # count the last tile's window could overrun the array, and pl.ds
+    # CLAMPS the start — silently shifting every row in the chunk and
+    # compositing the wrong pairs (round-4's 3N slack masked this).
+    rows_pad = (-rows) % CHUNK
+    if rows_pad:
+        fields = jnp.pad(fields, ((0, 0), (0, rows_pad)))
 
     # class-C pairs beyond the budget are DROPPED — surface the count so
     # callers (tests, bench, pipelines) can assert/log instead of silently
@@ -421,12 +420,12 @@ def bin_pairs(
 @partial(jax.jit, static_argnames=("width", "height"))
 def required_overflow(proj: ProjectedSplats, width: int, height: int,
                       band_ty=None):
-    """Exact class-C (span > K_SLOTS tiles) pair requirement — O(N)
-    elementwise. The fixed-slot class-A rows are statically sized (K_SLOTS*N),
-    so this is the only budget to calibrate."""
+    """Exact class-C (beyond-first-tile) pair requirement — O(N)
+    elementwise. Class A (one row per splat) is statically sized, so this is
+    the only budget to calibrate."""
     _, _, _, sx, sy, valid = _tile_geom(proj, width, height, band_ty)
     pairs_n = sx * sy
-    return jnp.sum(jnp.where(valid & (pairs_n > K_SLOTS), pairs_n, 0))
+    return jnp.sum(jnp.where(valid & (pairs_n > 1), pairs_n - 1, 0))
 
 
 def calibrate_overflow(

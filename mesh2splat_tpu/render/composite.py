@@ -871,8 +871,21 @@ def _make_overdraw_kernel(idx, f_pad):
     return kernel
 
 
+def _check_pair_axis(fields):
+    """The kernels DMA CHUNK-aligned windows out of fields; a pair axis that
+    is not a CHUNK multiple lets the last window overrun the array, where
+    pl.ds clamps the start and silently composites shifted rows. bin_pairs
+    pads; reject anything else loudly."""
+    if fields.shape[1] % CHUNK:
+        raise ValueError(
+            f"fields pair axis {fields.shape[1]} must be a multiple of "
+            f"CHUNK={CHUNK} (bin_pairs pads automatically)"
+        )
+
+
 def _single_channel_call(kernel, fields, tile_starts, height_arr, ty, tx,
                          f_pad, interpret):
+    _check_pair_axis(fields)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ty, tx),
@@ -967,6 +980,7 @@ def _composite_fwd(fields, tile_starts, height_arr, ty, tx, interpret,
     variant = "albedo" if albedo_only else "full"
     idx = B.field_index(variant)
     f_pad = B.padded_rows(variant)
+    _check_pair_axis(fields)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ty, tx),

@@ -136,56 +136,179 @@ def _world_pos(splats: Splats, model_to_world):
 @partial(jax.jit, static_argnames=("size",))
 def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int,
                        model_to_world=None):
-    """Fused-cubemap prep: ONE merged projection over all 6 faces.
+    """Fused-cubemap prep: ONE single-pass projection over all 6 faces.
 
     Each splat belongs to exactly one face (dominant light-space direction,
-    G9:58-69), so instead of 6 N-capacity passes the 6 per-face projections
-    are SELECTED per splat into one N-capacity ProjectedSplats whose
-    mean_ndc.y is remapped into a (6*size, size) tall image — face f's
-    viewport becomes the row band [f*size, (f+1)*size). One binning call
-    with a per-splat tile-row band clamp (the per-face scissor) + one
-    min-depth kernel then render all 6 faces in a single dispatch, replacing
-    the reference's 6 sequential instanced draws
-    (GaussianShadowPass.cpp:156-236) AND round-3's 6 sequential jit
-    dispatches with up to 6 compile variants."""
+    G9:58-69), and all 6 face cameras share ONE 90-degree perspective with
+    CONSTANT rotations — so instead of 6 N-capacity projections + 6-way
+    gathers (round 4: ~700 ms at 1.5M splats on v5e), the face rotation
+    entries are selected per splat with a tiny (N, 6) one-hot contraction
+    and the whole EWA pipeline (transcribed from ops/projection.py:133-280,
+    itself G4:58-204) runs ONCE, elementwise. mean_ndc.y is remapped into a
+    (6*size, size) tall image — face f's viewport is the row band
+    [f*size, (f+1)*size). One binning call with a per-splat tile-row band
+    clamp (the per-face scissor) + one min-depth kernel then render all 6
+    faces in a single dispatch, replacing the reference's 6 sequential
+    instanced draws (GaussianShadowPass.cpp:156-236)."""
     from .binning import TILE_H, required_overflow
 
+    n = splats.capacity
+    light_pos = jnp.asarray(light_pos, jnp.float32)
     ws = _world_pos(splats, model_to_world)
-    splat_face = dominant_face(ws - light_pos)
-    cams = face_cameras(light_pos, far, size)
-    radial = jnp.linalg.norm(ws - light_pos, axis=-1) / far
+    d = ws - light_pos
+    splat_face = dominant_face(d)
+    radial = jnp.linalg.norm(d, axis=-1) / far
 
-    projs = [
-        project_splats(splats, cams[f], std_dev=std_dev,
-                       splat_format=SplatFormat.MESH2SPLAT,
-                       model_to_world=model_to_world)
+    # constant face rotations (look_at of the axis-aligned dirs); per-splat
+    # entries via one-hot contraction — no gathers, MXU/VPU-friendly
+    rot6 = np.stack([
+        look_at(np.zeros(3), _FACE_DIRS[f], _FACE_UPS[f])[:3, :3]
         for f in range(6)
-    ]
+    ])  # (6, 3, 3)
+    onehot = jax.nn.one_hot(splat_face, 6, dtype=jnp.float32)  # (N, 6)
+    Rsel = onehot @ jnp.asarray(rot6.reshape(6, 9), jnp.float32)  # (N, 9)
+    w00, w01, w02, w10, w11, w12, w20, w21, w22 = (
+        Rsel[:, k] for k in range(9)
+    )
 
-    def sel(field_name):
-        stacked = jnp.stack([getattr(p, field_name) for p in projs])
-        f6 = splat_face.reshape((1, -1) + (1,) * (stacked.ndim - 2))
-        return jnp.take_along_axis(
-            stacked, jnp.broadcast_to(f6, (1,) + stacked.shape[1:]), axis=0
-        )[0]
+    # shared 90-degree projection (face_cameras): p00 = p11 = 1
+    near, farp = 0.1, 1e4
+    p00 = p11 = np.float32(1.0)
+    p22 = np.float32(-(farp + near) / (farp - near))
+    p23 = np.float32(-2.0 * farp * near / (farp - near))
 
-    mean_ndc = sel("mean_ndc")
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    vsx = w00 * dx + w01 * dy + w02 * dz
+    vsy = w10 * dx + w11 * dy + w12 * dz
+    vsz = w20 * dx + w21 * dy + w22 * dz
+    cx = p00 * vsx
+    cy = p11 * vsy
+    cz = p22 * vsz + p23
+    cw = -vsz
+
+    # frustum cull at 1.05*w (G4:72-76); the dominant-face assignment
+    # guarantees |cx|,|cy| <= w, so this mainly rejects near-plane splats
+    margin = 1.05 * cw
+    inside = (
+        (cz >= -margin) & (cx >= -margin) & (cx <= margin)
+        & (cy >= -margin) & (cy <= margin)
+    )
+    valid = jnp.logical_and(splats.valid, inside)
+
+    # scale decode + cov3d = R S^2 R^T (projection.py:170-218 transcription)
+    if model_to_world is None:
+        model_scale = jnp.ones(3, jnp.float32)
+    else:
+        model_scale = jnp.linalg.norm(model_to_world[:3, :3], axis=0)
+    s0 = splats.scale[:, 0] * std_dev * (model_scale[0] * model_scale[0])
+    s1 = splats.scale[:, 1] * std_dev * (model_scale[1] * model_scale[1])
+    s2 = splats.scale[:, 2] * std_dev * (model_scale[2] * model_scale[2])
+
+    qw, qx, qy, qz = (
+        splats.quat[:, 0], splats.quat[:, 1],
+        splats.quat[:, 2], splats.quat[:, 3],
+    )
+    r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    r01 = 2.0 * (qx * qy - qw * qz)
+    r02 = 2.0 * (qx * qz + qw * qy)
+    r10 = 2.0 * (qx * qy + qw * qz)
+    r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+    r12 = 2.0 * (qy * qz - qw * qx)
+    r20 = 2.0 * (qx * qz - qw * qy)
+    r21 = 2.0 * (qy * qz + qw * qx)
+    r22 = 1.0 - 2.0 * (qy * qy + qx * qx)
+    if model_to_world is not None:
+        mr = model_to_world[:3, :3] / jnp.maximum(model_scale, 1e-12)
+        r00, r10, r20 = (
+            mr[0, 0] * r00 + mr[0, 1] * r10 + mr[0, 2] * r20,
+            mr[1, 0] * r00 + mr[1, 1] * r10 + mr[1, 2] * r20,
+            mr[2, 0] * r00 + mr[2, 1] * r10 + mr[2, 2] * r20,
+        )
+        r01, r11, r21 = (
+            mr[0, 0] * r01 + mr[0, 1] * r11 + mr[0, 2] * r21,
+            mr[1, 0] * r01 + mr[1, 1] * r11 + mr[1, 2] * r21,
+            mr[2, 0] * r01 + mr[2, 1] * r11 + mr[2, 2] * r21,
+        )
+        r02, r12, r22 = (
+            mr[0, 0] * r02 + mr[0, 1] * r12 + mr[0, 2] * r22,
+            mr[1, 0] * r02 + mr[1, 1] * r12 + mr[1, 2] * r22,
+            mr[2, 0] * r02 + mr[2, 1] * r12 + mr[2, 2] * r22,
+        )
+
+    q0, q1, q2 = s0 * s0, s1 * s1, s2 * s2
+    c00 = r00 * r00 * q0 + r01 * r01 * q1 + r02 * r02 * q2
+    c01 = r00 * r10 * q0 + r01 * r11 * q1 + r02 * r12 * q2
+    c02 = r00 * r20 * q0 + r01 * r21 * q1 + r02 * r22 * q2
+    c11 = r10 * r10 * q0 + r11 * r11 * q1 + r12 * r12 * q2
+    c12 = r10 * r20 * q0 + r11 * r21 * q1 + r12 * r22 * q2
+    c22 = r20 * r20 * q0 + r21 * r21 * q1 + r22 * r22 * q2
+
+    # EWA Jacobian with the per-splat face rotation as W (G4:152-169)
+    z_safe = jnp.where(jnp.abs(vsz) < 1e-8, -1e-8, vsz)
+    jsx = -(p00 * size) / (2.0 * z_safe)
+    jsy = -(p11 * size) / (2.0 * z_safe)
+    jtx = (p00 * vsx * size) / (2.0 * z_safe * z_safe)
+    jty = (p11 * vsy * size) / (2.0 * z_safe * z_safe)
+    u0 = jsx * w00 + jtx * w20
+    u1 = jsx * w01 + jtx * w21
+    u2 = jsx * w02 + jtx * w22
+    v0 = jsy * w10 + jty * w20
+    v1 = jsy * w11 + jty * w21
+    v2 = jsy * w12 + jty * w22
+
+    cu0 = c00 * u0 + c01 * u1 + c02 * u2
+    cu1 = c01 * u0 + c11 * u1 + c12 * u2
+    cu2 = c02 * u0 + c12 * u1 + c22 * u2
+    a = u0 * cu0 + u1 * cu1 + u2 * cu2 + 0.3
+    b = v0 * cu0 + v1 * cu1 + v2 * cu2
+    cv0 = c00 * v0 + c01 * v1 + c02 * v2
+    cv1 = c01 * v0 + c11 * v1 + c12 * v2
+    cv2 = c02 * v0 + c12 * v1 + c22 * v2
+    c = v0 * cv0 + v1 * cv1 + v2 * cv2 + 0.3
+
+    mid = a + c
+    delta = jnp.sqrt((a - c) ** 2 + (2.0 * b) ** 2)
+    lam2 = 0.5 * (mid - delta)
+    valid = jnp.logical_and(valid, lam2 >= 0.0)
+
+    det = a * c - b * b
+    det_ok = jnp.abs(det) >= 1e-20
+    det_safe = jnp.where(det_ok, det, 1.0)
+    zero = jnp.zeros_like(det)
+    conic = jnp.stack(
+        [
+            jnp.where(det_ok, c / det_safe, zero),
+            jnp.where(det_ok, -b / det_safe, zero),
+            jnp.where(det_ok, a / det_safe, zero),
+        ],
+        axis=-1,
+    )
+    from ..ops.projection import axes_from_conic
+
+    mjx, mjy, mnx, mny = axes_from_conic(
+        conic[:, 0], conic[:, 1], conic[:, 2]
+    )
+    axes_px = jnp.stack([mjx, mjy, mnx, mny], axis=-1).reshape(-1, 2, 2)
+
+    w_safe = jnp.where(jnp.abs(cw) < 1e-12, 1e-12, cw)
     facef = splat_face.astype(jnp.float32)
     # face-local window y mpy = (ndc_y+1)*size/2 -> tall-image
     # mpy' = mpy + (5-f)*size, re-expressed in tall-image ndc (H = 6*size)
-    ndc_y = ((mean_ndc[:, 1] + 1.0) / 6.0 + (5.0 - facef) / 3.0) - 1.0
-    mean_ndc = jnp.stack([mean_ndc[:, 0], ndc_y], axis=1)
+    ndc_y_face = cy / w_safe
+    ndc_y = ((ndc_y_face + 1.0) / 6.0 + (5.0 - facef) / 3.0) - 1.0
+    mean_ndc = jnp.stack([cx / w_safe, ndc_y], axis=1)
 
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
     merged = ProjectedSplats(
         mean_ndc=mean_ndc,
-        axes_px=sel("axes_px"),
-        conic=sel("conic"),
+        axes_px=axes_px,
+        conic=conic,
         depth=radial,                      # min-composite key
-        color=sel("color"),
-        normal=sel("normal"),
-        wspos=sel("wspos"),
-        pbr=sel("pbr"),
-        valid=sel("valid"),
+        color=jnp.zeros((n, 4), jnp.float32),  # unused by the depth variant
+        normal=zeros3,
+        wspos=ws,
+        pbr=jnp.zeros((n, 2), jnp.float32),
+        valid=valid,
     )
     tiles_per_face = size // TILE_H
     ty_lo = splat_face * tiles_per_face

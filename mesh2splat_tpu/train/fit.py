@@ -132,19 +132,24 @@ def fit_splats(
 
     pair_cap = 0
     if config.use_tiled:
-        # size the class-C overflow budget to the worst view (pow2-rounded)
+        # size the class-C overflow budget to the worst view: ONE vmapped
+        # projection over all views + max of required_overflow, one compile
+        # and one host readback (round-4 weak #7: this used to be V
+        # sequential jit dispatches with V readbacks)
         from ..render.binning import required_overflow
 
-        n_views = targets.shape[0]
-        need_p = 1
-        for i in range(n_views):
-            cam_i = jax.tree.map(lambda a: a[i], cameras)
-            proj = project_splats(
-                splats, cam_i, std_dev=config.std_dev,
-                render_mode=RenderMode.ALBEDO,
-            )
-            need_p = max(need_p, int(required_overflow(
-                proj, config.width, config.height)))
+        @jax.jit
+        def worst_view_need(splats, cameras):
+            def one(cam_tree):
+                proj = project_splats(
+                    splats, cam_tree, std_dev=config.std_dev,
+                    render_mode=RenderMode.ALBEDO,
+                )
+                return required_overflow(proj, config.width, config.height)
+
+            return jnp.max(jax.vmap(one)(cameras))
+
+        need_p = int(worst_view_need(splats, cameras))
         pair_cap = 1 << max(need_p - 1, 8192).bit_length()
 
     step = jax.jit(
