@@ -84,25 +84,46 @@ class PackedAtlas:
     of re-uploading textures per conversion — pack once with pack_atlas()
     and pass to convert(..., atlas=) to amortize across conversions."""
 
-    atlasT: jax.Array = dataclasses.field()          # (k*4*10, n_rows) f32
-    tex_h: int = dataclasses.field(metadata=dict(static=True), default=1)
-    tex_w: int = dataclasses.field(metadata=dict(static=True), default=1)
-    hw_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
+    atlasT: jax.Array = dataclasses.field()  # (k*4*10, n_rows) f32, or
+                                             # (k*4*10/2, n_rows) int32
+                                             # bf16-pair lanes when packed
+    # static per-mip-level geometry ((row_off, h, w, hw_pad), ...)
+    geom: tuple = dataclasses.field(metadata=dict(static=True),
+                                    default=((0, 1, 1, 1),))
     k: int = dataclasses.field(metadata=dict(static=True), default=1)
+    packed: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
 
 
-def pack_atlas(material: Material) -> PackedAtlas | None:
+def pack_atlas(material: Material, precision: str = "bf16",
+               mips: bool = True) -> PackedAtlas | None:
     """Build a material's PackedAtlas once (None for textureless
     materials). jit-compatible; the heavy roll/concat/transpose runs on
-    device a single time instead of inside every convert() call."""
+    device a single time instead of inside every convert() call.
+
+    precision: "bf16" (default) packs channel pairs as two bf16s per int32
+    lane — halves the per-conversion tap-gather bytes at the 8-bit
+    filtering precision of the reference's own GL_RGBA8 texture path
+    (glUtils.cpp:252-318); "f32" keeps full precision (bit-identical to
+    the inline no-atlas build). Prebuilt atlases are forward-only
+    constants either way — the differentiable texture path (fit_textures)
+    builds its f32 atlas inline.
+
+    mips: include the 2x-box mip chain (the reference's glGenerateMipmap,
+    glUtils.cpp:305) so dense-texture/low-res conversions area-filter
+    instead of aliasing; ~1.33x atlas rows."""
+    if precision not in ("bf16", "f32"):
+        raise ValueError(f"precision={precision!r}: must be 'bf16' or 'f32'")
     stack = _material_stack(material)
     if stack is None:
         return None
     m, th, tw_tex, _ = stack.shape
     k = fragment.pack_factor(m * th * tw_tex)
-    atlasT, hw_pad = fragment.build_pair_atlas(stack, k)
-    return PackedAtlas(atlasT=atlasT, tex_h=th, tex_w=tw_tex,
-                       hw_pad=hw_pad, k=k)
+    atlasT, geom = fragment.build_pair_atlas(
+        stack, k, packed=precision == "bf16", mips=mips
+    )
+    return PackedAtlas(atlasT=atlasT, geom=tuple(geom), k=k,
+                       packed=precision == "bf16")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +158,13 @@ class ConversionConfig:
     # 0 = use the per-slot XLA gather instead (always correct; ~4 ms slower
     # at 1.5M slots). calibrate() measures the exact bound.
     rec_window: int = 0
+    # Mip-mapped texture sampling (the reference's glGenerateMipmap +
+    # implicit-LOD texture(), glUtils.cpp:305 / converterFS.glsl:57): a
+    # per-triangle LOD from the ortho-UV -> texture-UV footprint selects
+    # the nearest mip, so dense-texture/low-res conversions area-filter
+    # instead of aliasing. Only affects conversions whose texel footprint
+    # exceeds ~2 texture texels (LOD >= 0.5).
+    use_mips: bool = True
 
     @property
     def capacity(self) -> int:
@@ -497,19 +525,59 @@ def _finish_convert(
     if mids is None:
         mids = jnp.zeros((t,), jnp.int32)
     fac_t = factors[mids]  # (T, 4)
+
+    # per-triangle mip LOD: texture UV varies affinely over ortho-UV, so
+    # the texel footprint (GL's implicit-LOD derivative, converterFS.glsl
+    # texture() on a mipmapped sampler) is constant per triangle:
+    # A = E @ D^-1 maps an ortho-UV step to a texture-UV step; one ortho
+    # texel is 1/res, scaled to texture texels by the level-0 dimensions.
+    if atlas is not None:
+        n_levels = len(atlas.geom)
+        th0, tw0 = atlas.geom[0][1], atlas.geom[0][2]
+    elif stack is not None:
+        n_levels = len(fragment.mip_dims(
+            stack.shape[1], stack.shape[2], config.use_mips))
+        th0, tw0 = stack.shape[1], stack.shape[2]
+    else:
+        n_levels, th0, tw0 = 1, 1, 1
+    if n_levels > 1:
+        uvt = mesh.tri_uv
+        d1 = ouv[:, 1] - ouv[:, 0]
+        d2 = ouv[:, 2] - ouv[:, 0]
+        e1 = uvt[:, 1] - uvt[:, 0]
+        e2 = uvt[:, 2] - uvt[:, 0]
+        det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+        safe = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+        a00 = (e1[:, 0] * d2[:, 1] - e2[:, 0] * d1[:, 1]) / safe
+        a01 = (-e1[:, 0] * d2[:, 0] + e2[:, 0] * d1[:, 0]) / safe
+        a10 = (e1[:, 1] * d2[:, 1] - e2[:, 1] * d1[:, 1]) / safe
+        a11 = (-e1[:, 1] * d2[:, 0] + e2[:, 1] * d1[:, 0]) / safe
+        sx_t, sy_t = tw0 / res, th0 / res
+        rho = jnp.sqrt(jnp.maximum(
+            (a00 * sx_t) ** 2 + (a10 * sy_t) ** 2,
+            (a01 * sx_t) ** 2 + (a11 * sy_t) ** 2,
+        ))
+        lod_t = jnp.clip(
+            jnp.round(jnp.log2(jnp.maximum(rho, 1.0))), 0, n_levels - 1
+        )
+        lod_t = jnp.where(jnp.abs(det) < 1e-20, 0.0, lod_t)
+    else:
+        lod_t = jnp.zeros((t,), jnp.float32)
+
     record = jnp.concatenate(
         [
             ouv.reshape(t, 6),                       # au..cv       (0-5)
             geo[:, 6:9],                             # tx0 ty0 tw   (6-8)
             mesh.tri_uv.reshape(t, 6),               # ua..vc       (9-14)
             mids[:, None].astype(jnp.float32),       # mid          (15)
-            mesh.tri_pos.reshape(t, 9),              # (16-24)
-            mesh.tri_normal.reshape(t, 9),           # (25-33)
-            mesh.tri_tangent.reshape(t, 12),         # (34-45)
-            attrs["quat"],                           # (46-49)
-            attrs["scale"],                          # (50-52)
-            fac_t,                                   # (53-56)
-            jnp.zeros((t, fragment.REC_W - 57), jnp.float32),
+            lod_t[:, None],                          # lod          (16)
+            mesh.tri_pos.reshape(t, 9),              # (17-25)
+            mesh.tri_normal.reshape(t, 9),           # (26-34)
+            mesh.tri_tangent.reshape(t, 12),         # (35-46)
+            attrs["quat"],                           # (47-50)
+            attrs["scale"],                          # (51-53)
+            fac_t,                                   # (54-57)
+            jnp.zeros((t, fragment.REC_W - 58), jnp.float32),
         ],
         axis=-1,
     )  # (T, REC_W)
@@ -526,32 +594,35 @@ def _finish_convert(
         [tri_id_safe, s_row_local, local, in_budget.astype(jnp.int32)]
     ).astype(jnp.float32)  # (4, cap)
 
+    taps_packed = False
     if atlas is not None:
         has_stack = True
         atlasT = atlas.atlasT
-        th, tw_tex = atlas.tex_h, atlas.tex_w
-        hw_pad, k = atlas.hw_pad, atlas.k
+        geom_mips, k = atlas.geom, atlas.k
+        taps_packed = atlas.packed
     elif stack is not None:
         has_stack = True
         m, th, tw_tex, _ = stack.shape
         k = fragment.pack_factor(m * th * tw_tex)
-        atlasT, hw_pad = fragment.build_pair_atlas(stack, k)
+        atlasT, geom_mips = fragment.build_pair_atlas(
+            stack, k, mips=config.use_mips
+        )
     else:
         has_stack = False
     if has_stack:
         rows_idx = fragment.texel_rows(
-            records, metaT, res=res, tex_h=th, tex_w=tw_tex, hw_pad=hw_pad,
+            records, metaT, res=res, geom=geom_mips,
             k=k, n_rows=atlasT.shape[1], w_rec=w_rec,
             local_in_kernel=local_in_kernel,
         )
-        tapsT = atlasT[:, rows_idx]  # (k*4*10, cap)
+        tapsT = atlasT[:, rows_idx]  # (k*4*10[/2], cap)
     else:
-        th = tw_tex = hw_pad = k = 1
+        geom_mips, k = ((0, 1, 1, 1),), 1
         tapsT = jnp.zeros((1, cap), jnp.float32)
 
     outT, _ = fragment.fragment_apply(
-        records, tapsT, metaT, res, th, tw_tex, hw_pad, k,
-        has_base, has_normal, has_mr, w_rec, local_in_kernel,
+        records, tapsT, metaT, res, tuple(geom_mips), k,
+        has_base, has_normal, has_mr, w_rec, local_in_kernel, taps_packed,
     )  # (OUT_W, cap); narrow (cap, k).T views below are layout relabels
 
     return Splats(

@@ -37,25 +37,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---- record layout (field-major rows of the (REC_W, T) record table) ------
-# rows 0..15 are the "geometry window" kernel A reads (ouv, geo, uv, mid).
+# rows 0..GEO_W-1 are the "geometry window" kernel A reads (ouv, geo, uv,
+# mid, lod).
 REC = {
     "au": 0, "av": 1, "bu": 2, "bv": 3, "cu": 4, "cv": 5,      # ortho-UV
     "tx0": 6, "ty0": 7, "tw": 8,                                # texel bbox
     "ua": 9, "va": 10, "ub": 11, "vb": 12, "uc": 13, "vc": 14,  # texture UV
     "mid": 15,                                                  # material id
-    "pax": 16, "pay": 17, "paz": 18, "pbx": 19, "pby": 20, "pbz": 21,
-    "pcx": 22, "pcy": 23, "pcz": 24,                            # tri_pos
-    "nax": 25, "nay": 26, "naz": 27, "nbx": 28, "nby": 29, "nbz": 30,
-    "ncx": 31, "ncy": 32, "ncz": 33,                            # tri_normal
-    "tax": 34, "tay": 35, "taz": 36, "taw": 37,
-    "tbx": 38, "tby": 39, "tbz": 40, "tbw": 41,
-    "tcx": 42, "tcy": 43, "tcz": 44, "tcw": 45,                 # tri_tangent
-    "qw": 46, "qx": 47, "qy": 48, "qz": 49,                     # quat
-    "sx": 50, "sy": 51, "sz": 52,                               # scale
-    "fr": 53, "fg": 54, "fb": 55, "fa": 56,                     # color factor
+    "lod": 16,                                                  # mip level
+    "pax": 17, "pay": 18, "paz": 19, "pbx": 20, "pby": 21, "pbz": 22,
+    "pcx": 23, "pcy": 24, "pcz": 25,                            # tri_pos
+    "nax": 26, "nay": 27, "naz": 28, "nbx": 29, "nby": 30, "nbz": 31,
+    "ncx": 32, "ncy": 33, "ncz": 34,                            # tri_normal
+    "tax": 35, "tay": 36, "taz": 37, "taw": 38,
+    "tbx": 39, "tby": 40, "tbz": 41, "tbw": 42,
+    "tcx": 43, "tcy": 44, "tcz": 45, "tcw": 46,                 # tri_tangent
+    "qw": 47, "qx": 48, "qy": 49, "qz": 50,                     # quat
+    "sx": 51, "sy": 52, "sz": 53,                               # scale
+    "fr": 54, "fg": 55, "fb": 56, "fa": 57,                     # color factor
 }
 REC_W = 64          # padded record rows (multiple of 8 sublanes)
-GEO_W = 16          # kernel A's record window (rows 0..15)
+GEO_W = 24          # kernel A's record window (rows 0..23, 8-aligned)
 CHUNK = 2048        # slots per grid step
 TAPS_C = 10         # channels per tap: rgba | normal xyz | mr rgb
 MAX_PACK = 4        # max texels packed per atlas row
@@ -110,24 +112,103 @@ def pack_factor(total_texels: int) -> int:
     return k
 
 
-def build_pair_atlas(stack: jax.Array, k: int):
-    """(M, H, W, C) texture stack -> transposed pair-packed tap atlas
-    (4*C*k, ceil(M*HW_pad/k)) where HW_pad pads each layer to a multiple of
-    k so packed rows never straddle layers. Row r holds the 2x2 bilinear
-    footprints of texels [r*k, r*k + k) (REPEAT wrap within the layer,
-    reference: glUtils.cpp:252-318 GL_REPEAT)."""
+def mip_dims(h: int, w: int, mips: bool, max_levels: int = 8):
+    """Static mip-chain dimensions [(h, w), ...]: exact 2x box halving
+    while both sides stay even and >= 8 (the reference's glGenerateMipmap
+    chain, glUtils.cpp:305, restricted to the exact-box regime)."""
+    dims = [(h, w)]
+    while (mips and len(dims) < max_levels
+           and h % 2 == 0 and w % 2 == 0 and h >= 16 and w >= 16):
+        h, w = h // 2, w // 2
+        dims.append((h, w))
+    return dims
+
+
+def mip_geometry(h: int, w: int, k: int, mips: bool, n_layers: int = 1):
+    """Static per-level atlas geometry: ((row_off, h, w, hw_pad), ...).
+    hw_pad pads each level-layer to a multiple of k so packed rows never
+    straddle layers; row_off is the level's first GLOBAL atlas row (each
+    level block holds n_layers contiguous layers)."""
+    geom = []
+    off = 0
+    for lh, lw in mip_dims(h, w, mips):
+        hw_pad = -(-(lh * lw) // k) * k
+        geom.append((off, lh, lw, hw_pad))
+        off += n_layers * hw_pad // k
+    return tuple(geom)
+
+
+def downsample2(stack):
+    """Exact 2x2 box filter per layer/channel — the standard mip reduction
+    (glGenerateMipmap's default box kernel)."""
     m, h, w, c = stack.shape
-    t01 = jnp.roll(stack, -1, axis=2)
-    t10 = jnp.roll(stack, -1, axis=1)
-    t11 = jnp.roll(t10, -1, axis=2)
-    taps = jnp.concatenate([stack, t01, t10, t11], axis=-1)  # (M, H, W, 4C)
-    hw = h * w
-    hw_pad = -(-hw // k) * k
-    flat = taps.reshape(m, hw, 4 * c)
-    if hw_pad != hw:
-        flat = jnp.pad(flat, ((0, 0), (0, hw_pad - hw), (0, 0)))
-    rows = flat.reshape(m * hw_pad // k, k * 4 * c)
-    return jnp.transpose(rows), hw_pad
+    return stack.reshape(m, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def build_pair_atlas(stack: jax.Array, k: int, packed: bool = False,
+                     mips: bool = False):
+    """(M, H, W, C) texture stack -> transposed pair-packed tap atlas
+    (4*C*k, n_rows) + the static per-level geometry (mip_geometry). Each
+    row holds the 2x2 bilinear footprints of k texels (REPEAT wrap within
+    the layer, reference: glUtils.cpp:252-318 GL_REPEAT). mips=True
+    appends the 2x-box mip chain's levels (glGenerateMipmap parity,
+    glUtils.cpp:305) — rows grow ~1.33x.
+
+    packed=True additionally packs CHANNEL PAIRS as two bf16s per int32
+    lane (field f with field f + n/2; see _unpack_taps), halving the tap
+    gather's bytes. bf16 keeps 8 mantissa bits, i.e. the quantization of
+    the reference's own u8 textures filtered by GL at 8-bit precision
+    (glUtils.cpp uploads GL_RGBA8); int32 (not f32) lanes so the bit
+    patterns survive data movement (denormal-flush hazard). Forward-only:
+    bit ops cut autodiff, so the differentiable texture path
+    (fit_textures) uses packed=False."""
+    m, h, w, c = stack.shape
+    geom = mip_geometry(h, w, k, mips, n_layers=m)
+
+    def level_rows(lvl_stack, hw_pad):
+        lm, lh, lw, lc = lvl_stack.shape
+        t01 = jnp.roll(lvl_stack, -1, axis=2)
+        t10 = jnp.roll(lvl_stack, -1, axis=1)
+        t11 = jnp.roll(t10, -1, axis=2)
+        taps = jnp.concatenate([lvl_stack, t01, t10, t11], axis=-1)
+        hw = lh * lw
+        flat = taps.reshape(lm, hw, 4 * lc)
+        if hw_pad != hw:
+            flat = jnp.pad(flat, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        return flat.reshape(lm * hw_pad // k, k * 4 * lc)
+
+    rows = []
+    cur = stack
+    for off, lh, lw, hw_pad in geom:
+        if cur.shape[1] != lh:
+            cur = downsample2(cur)
+        rows.append(level_rows(cur, hw_pad))
+    atlasT = jnp.transpose(jnp.concatenate(rows, axis=0))  # (k*4*c, n_rows)
+    if not packed:
+        return atlasT, geom
+    half = atlasT.shape[0] // 2
+    # bf16 bits live in the upper 16 of the f32 pattern; rounding via the
+    # dtype cast, then pure bit packing
+    def bf16_bits(x):
+        r = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return jax.lax.bitcast_convert_type(r, jnp.int32)
+
+    hi = bf16_bits(atlasT[:half]) & jnp.int32(-65536)        # 0xFFFF0000
+    lo = jax.lax.shift_right_logical(bf16_bits(atlasT[half:]), 16)
+    return hi | lo, geom
+
+
+def _unpack_taps(packed_i32):
+    """Inverse of build_pair_atlas's channel packing: (n/2, N) int32 ->
+    (n, N) f32. bf16 -> f32 is exactly a 16-bit left shift of the pattern,
+    so both halves are two bit ops each — VPU-trivial inside the kernel."""
+    hi = jax.lax.bitcast_convert_type(
+        packed_i32 & jnp.int32(-65536), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(packed_i32, 16), jnp.float32
+    )
+    return jnp.concatenate([hi, lo], axis=0)
 
 
 class _F:
@@ -237,23 +318,38 @@ def _slot_uv(rec, meta, res):
     return dict(wa=wa, wb=wb, wc=wc, uu=uu, vv=vv, valid=valid, lerp3=lerp3)
 
 
-def _tap_index(uu, vv, mid, tex_h, tex_w, hw_pad, k):
+def _tap_index(uu, vv, mid, lod, geom, k):
     """Packed atlas row index + sub-slot + bilinear fractions for the 2x2
-    footprint at (uu, vv) — the exact index/fraction math of
-    sampling.sample_bilinear_atlas_layered."""
-    u = uu * tex_w - 0.5
-    v = vv * tex_h - 0.5
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = u - u0
-    fv = v - v0
-    u0i = jnp.mod(u0.astype(jnp.int32), tex_w)
-    v0i = jnp.mod(v0.astype(jnp.int32), tex_h)
-    texel = mid.astype(jnp.int32) * hw_pad + v0i * tex_w + u0i
-    return texel // k, jnp.mod(texel, k), fu, fv
+    footprint at (uu, vv) in mip level ``lod`` — the index/fraction math of
+    sampling.sample_bilinear_atlas_layered, extended with the static
+    per-level select (<= 8 levels unrolled; nearest-mip, the reference's
+    implicit-LOD texture() on a mipmapped GL_RGBA8)."""
+    lvl = jnp.clip(lod.astype(jnp.int32), 0, len(geom) - 1)
+    row = sub = fu = fv = None
+    for i, (off, lh, lw, hw_pad) in enumerate(geom):
+        u = uu * lw - 0.5
+        v = vv * lh - 0.5
+        u0 = jnp.floor(u)
+        v0 = jnp.floor(v)
+        fui = u - u0
+        fvi = v - v0
+        u0i = jnp.mod(u0.astype(jnp.int32), lw)
+        v0i = jnp.mod(v0.astype(jnp.int32), lh)
+        texel = mid.astype(jnp.int32) * hw_pad + v0i * lw + u0i
+        rowi = off + texel // k
+        subi = jnp.mod(texel, k)
+        if i == 0:
+            row, sub, fu, fv = rowi, subi, fui, fvi
+        else:
+            sel = lvl == i
+            row = jnp.where(sel, rowi, row)
+            sub = jnp.where(sel, subi, sub)
+            fu = jnp.where(sel, fui, fu)
+            fv = jnp.where(sel, fvi, fv)
+    return row, sub, fu, fv
 
 
-def _fragment_math(rec, taps, meta, *, res, tex_h, tex_w, hw_pad, k,
+def _fragment_math(rec, taps, meta, *, res, geom, k,
                    has_stack, has_base, has_normal, has_mr):
     """The whole fragment shader on field-major rows. rec (REC_W, N) f32;
     taps (k*4*TAPS_C, N) f32 | None; meta (3, N) f32. Returns (OUT_W, N).
@@ -277,7 +373,7 @@ def _fragment_math(rec, taps, meta, *, res, tex_h, tex_w, hw_pad, k,
     s_albedo = s_normal = s_mr = None
     if has_stack:
         _, sub, fu, fv = _tap_index(
-            s["uu"], s["vv"], f("mid"), tex_h, tex_w, hw_pad, k
+            s["uu"], s["vv"], f("mid"), f("lod"), geom, k
         )
         # select the sub-texel's 4C tap group from the packed row, then
         # bilinear-mix exactly like sampling.sample_bilinear_atlas
@@ -463,11 +559,11 @@ def _window_dma(records_hbm, bases_ref, scratch, sem, w_rec):
     return scratch[i % 2]
 
 
-def _index_math(geo, meta, *, res, tex_h, tex_w, hw_pad, k):
+def _index_math(geo, meta, *, res, geom, k):
     """(GEO_W, N) geometry rows + meta -> (1, N) int32 packed atlas row."""
     s = _slot_uv(geo, meta, res)
     row, _, _, _ = _tap_index(
-        s["uu"], s["vv"], _F(geo)("mid"), tex_h, tex_w, hw_pad, k
+        s["uu"], s["vv"], _F(geo)("mid"), _F(geo)("lod"), geom, k
     )
     # invalid slots still gather (row 0): harmless, masked later
     return jnp.where(s["valid"], row, 0)
@@ -478,12 +574,12 @@ def _gather_rec(records, metaT):
     return records[:, metaT[0].astype(jnp.int32)]
 
 
-def texel_rows(records, metaT, *, res, tex_h, tex_w, hw_pad, k, n_rows,
+def texel_rows(records, metaT, *, res, geom, k, n_rows,
                w_rec, local_in_kernel=False):
     """Kernel A: per-slot packed atlas row indices, (cap,) int32.
     records: (REC_W, T_pad) f32 transposed record table."""
     cap = metaT.shape[1]
-    kw = dict(res=res, tex_h=tex_h, tex_w=tex_w, hw_pad=hw_pad, k=k)
+    kw = dict(res=res, geom=geom, k=k)
     if not _is_tpu():
         idx = _index_math(_gather_rec(records, metaT)[:GEO_W], metaT, **kw)
         return jnp.clip(idx[0], 0, n_rows - 1)
@@ -553,45 +649,56 @@ def texel_rows(records, metaT, *, res, tex_h, tex_w, hw_pad, k, n_rows,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
 )
-def fragment_apply(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
-                   has_base, has_normal, has_mr, w_rec, local_in_kernel):
+def fragment_apply(records, tapsT, metaT, res, geom, k,
+                   has_base, has_normal, has_mr, w_rec, local_in_kernel,
+                   taps_packed=False):
     """Fragment shader over all slots. records (REC_W, T_pad) f32 transposed
     record table; tapsT (k*4*TAPS_C, cap) f32 (dummy (1, cap) when no
-    texture stack); metaT (4, cap) f32 [tri, row_local, local, live] (the
-    local row may be a placeholder when local_in_kernel — the kernel then
-    computes it with _local_scan and returns it). Returns
+    texture stack), or (k*4*TAPS_C/2, cap) int32 bf16-pair lanes when
+    taps_packed (see build_pair_atlas; unpacked in-kernel — halves the tap
+    bytes both in the XLA gather and the kernel's VMEM streams); metaT
+    (4, cap) f32 [tri, row_local, local, live] (the local row may be a
+    placeholder when local_in_kernel — the kernel then computes it with
+    _local_scan and returns it). Returns
     ((OUT_W, cap) f32 outputs, (1, cap) f32 local).
 
     Forward = Pallas on TPU (window-DMA records when w_rec > 0, per-slot
     gather otherwise) / plain XLA elsewhere; backward = jax.vjp of the same
     `_fragment_math`, so gradients flow to records (mesh attributes) and
-    taps (-> textures via the gather's transpose)."""
+    taps (-> textures via the gather's transpose). Packed taps are
+    forward-only: their cotangent is float0 (prebuilt atlases are
+    constants; the differentiable texture path keeps f32 taps)."""
     return _fragment_fwd_impl(
-        records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
-        has_base, has_normal, has_mr, w_rec, local_in_kernel,
+        records, tapsT, metaT, res, geom, k,
+        has_base, has_normal, has_mr, w_rec, local_in_kernel, taps_packed,
     )
 
 
-def _math_kwargs(res, tex_h, tex_w, hw_pad, k, has_base, has_normal, has_mr):
+def _math_kwargs(res, geom, k, has_base, has_normal, has_mr):
     return dict(
-        res=res, tex_h=tex_h, tex_w=tex_w, hw_pad=hw_pad, k=k,
+        res=res, geom=geom, k=k,
         has_stack=(has_base or has_normal or has_mr),
         has_base=has_base, has_normal=has_normal, has_mr=has_mr,
     )
 
 
-def _fragment_fwd_impl(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
-                       has_base, has_normal, has_mr, w_rec, local_in_kernel):
-    kw = _math_kwargs(res, tex_h, tex_w, hw_pad, k, has_base, has_normal,
-                      has_mr)
+def _fragment_fwd_impl(records, tapsT, metaT, res, geom, k,
+                       has_base, has_normal, has_mr, w_rec, local_in_kernel,
+                       taps_packed=False):
+    kw = _math_kwargs(res, geom, k, has_base, has_normal, has_mr)
     cap = metaT.shape[1]
+
+    def taps_f32(t):
+        if not kw["has_stack"]:
+            return None
+        return _unpack_taps(t) if taps_packed else t
+
     if not _is_tpu():
         # CPU path: conversion always supplies local in metaT
         out = _fragment_math(
-            _gather_rec(records, metaT),
-            tapsT if kw["has_stack"] else None, metaT, **kw,
+            _gather_rec(records, metaT), taps_f32(tapsT), metaT, **kw,
         )
         return out, metaT[2:3, :]
 
@@ -616,7 +723,7 @@ def _fragment_fwd_impl(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
             )
             loc_ref[...] = local
             out_ref[...] = _fragment_math(
-                rec, taps_ref[...] if kw["has_stack"] else None, meta, **kw
+                rec, taps_f32(taps_ref[...]), meta, **kw
             )
 
         out, loc = pl.pallas_call(
@@ -656,8 +763,7 @@ def _fragment_fwd_impl(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
         meta, local = _with_local(meta_ref[...], carry, local_in_kernel)
         loc_ref[...] = local
         out_ref[...] = _fragment_math(
-            rec_ref[...], taps_ref[...] if kw["has_stack"] else None,
-            meta, **kw,
+            rec_ref[...], taps_f32(taps_ref[...]), meta, **kw,
         )
 
     out, loc = pl.pallas_call(
@@ -686,22 +792,40 @@ def _fragment_fwd_impl(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
     return out[:, :cap], loc[:, :cap]
 
 
-def _fragment_vjp_fwd(records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
-                      has_base, has_normal, has_mr, w_rec, local_in_kernel):
+def _fragment_vjp_fwd(records, tapsT, metaT, res, geom, k,
+                      has_base, has_normal, has_mr, w_rec, local_in_kernel,
+                      taps_packed=False):
     out, loc = _fragment_fwd_impl(
-        records, tapsT, metaT, res, tex_h, tex_w, hw_pad, k,
-        has_base, has_normal, has_mr, w_rec, local_in_kernel,
+        records, tapsT, metaT, res, geom, k,
+        has_base, has_normal, has_mr, w_rec, local_in_kernel, taps_packed,
     )
     meta_full = jnp.concatenate([metaT[0:2], loc, metaT[3:4]], axis=0)
     return (out, loc), (records, tapsT, meta_full)
 
 
-def _fragment_vjp_bwd(res, tex_h, tex_w, hw_pad, k, has_base, has_normal,
-                      has_mr, w_rec, local_in_kernel, residuals, g):
+def _fragment_vjp_bwd(res, geom, k, has_base, has_normal,
+                      has_mr, w_rec, local_in_kernel, taps_packed,
+                      residuals, g):
     records, tapsT, metaT = residuals
     g_out, _ = g  # local output carries no gradient
-    kw = _math_kwargs(res, tex_h, tex_w, hw_pad, k, has_base, has_normal,
-                      has_mr)
+    kw = _math_kwargs(res, geom, k, has_base, has_normal, has_mr)
+
+    if taps_packed:
+        # packed (int32) taps are forward-only constants: unpack outside
+        # the differentiated fn, return a float0 cotangent
+        import numpy as np
+
+        taps_const = _unpack_taps(tapsT) if kw["has_stack"] else None
+
+        def fn_r(r):
+            return _fragment_math(
+                _gather_rec(r, metaT), taps_const, metaT, **kw,
+            )
+
+        _, vjp = jax.vjp(fn_r, records)
+        (d_rec,) = vjp(g_out)
+        d_taps = np.zeros(tapsT.shape, dtype=jax.dtypes.float0)
+        return d_rec, d_taps, jnp.zeros_like(metaT)
 
     def fn(r, t):
         return _fragment_math(

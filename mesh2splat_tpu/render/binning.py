@@ -69,8 +69,19 @@ import numpy as np
 from ..ops import segments
 from ..ops.projection import ProjectedSplats
 
-TILE_H = 32
-TILE_W = 32
+import os as _os
+
+# Tile shape: PROFILING-ONLY override (scripts/profile.py A/B runs). The
+# composite kernel's pixel axis is a flat TILE_H*TILE_W lane dimension, so
+# any shape with NPX a multiple of 128 works; (32, 32) measured best on the
+# 1080p bench scene (pair count vs per-pair pixel work tradeoff).
+TILE_H = int(_os.environ.get("M2S_TILE_H", "32"))
+TILE_W = int(_os.environ.get("M2S_TILE_W", "32"))
+if (TILE_H * TILE_W) % 128 or TILE_H < 8 or TILE_W < 8:
+    raise ValueError(
+        f"tile shape ({TILE_H}, {TILE_W}): TILE_H*TILE_W must be a multiple "
+        "of 128 (flat lane dimension) and both sides >= 8"
+    )
 
 CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
 

@@ -154,10 +154,11 @@ def cmd_convert(args):
     stack = jax.jit(_material_stack)(mat)
     m_, th_, tw_, _ = stack.shape
     k_ = fragment.pack_factor(m_ * th_ * tw_)
-    atl = jax.jit(lambda s: fragment.build_pair_atlas(s, k_))
-    atlasT, hw_pad = atl(stack)
+    atl = jax.jit(lambda s: fragment.build_pair_atlas(
+        s, k_, packed=True, mips=True)[0])
+    atlasT = atl(stack)
     print(f"atlas build   : {timeit(atl, stack, iters=it):7.2f} ms  "
-          f"shape={atlasT.shape} k={k_}", flush=True)
+          f"shape={atlasT.shape} k={k_} (packed bf16, mips)", flush=True)
 
     rng = np.random.default_rng(0)
     idxr = jnp.asarray(
