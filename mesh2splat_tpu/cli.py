@@ -63,6 +63,11 @@ def _build_parser():
     r.add_argument("--translate", default=None, metavar="X,Y,Z")
     r.add_argument("--rotate", default=None, metavar="QW,QX,QY,QZ")
     r.add_argument("--scale-model", default=None, metavar="SX,SY,SZ")
+    # split-screen mesh-vs-splat compare (the reference's stencil divider,
+    # GaussianRelightingPass.cpp:90-135); GLB inputs only
+    r.add_argument("--split", type=float, default=None, metavar="X",
+                   help="split-screen compare: mesh left of X in [0,1], "
+                        "splats right (glb input only)")
 
     b = sub.add_parser("batch", help="convert every .glb in a folder")
     b.add_argument("input_dir")
@@ -142,11 +147,21 @@ def cmd_render(args):
             vec(args.scale_model, (1, 1, 1)),
         )
 
-    img = scene.render(
-        splats, eye=eye, center=center, width=args.width, height=args.height,
-        fov_deg=args.fov, mode=mode, shadows=args.shadows, light=light,
-        model_transform=model_transform,
-    )
+    if args.split is not None:
+        if suffix == ".ply":
+            raise SystemExit("--split needs a glb input (mesh to compare)")
+        img = scene.render_split(
+            splats, eye=eye, center=center, width=args.width,
+            height=args.height, fov_deg=args.fov, mode=mode, light=light,
+            split_x=args.split,
+        )
+    else:
+        img = scene.render(
+            splats, eye=eye, center=center, width=args.width,
+            height=args.height, fov_deg=args.fov, mode=mode,
+            shadows=args.shadows, light=light,
+            model_transform=model_transform,
+        )
     img = np.asarray(jnp.clip(img, 0, 1))
     Image.fromarray((img * 255).astype(np.uint8)).save(args.output)
     print(f"{args.input} -> {args.output} [{args.mode}] {img.shape[1]}x{img.shape[0]}")

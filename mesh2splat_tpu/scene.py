@@ -130,6 +130,46 @@ class Scene:
         return render_frame(splats, cam, fc, light=light,
                             model_to_world=model_transform)
 
+    def render_split(self, splats: Splats, eye, center=(0, 0, 0),
+                     up=(0, 1, 0), width=1280, height=720, fov_deg=60.0,
+                     mode: RenderMode = RenderMode.ALBEDO, light=None,
+                     split_x: float = 0.5):
+        """Split-screen mesh-vs-splat comparison (the reference's
+        stencil-divided view, GaussianRelightingPass.cpp:90-135): left =
+        rasterized source mesh, right = splats. Multi-primitive scenes are
+        compared as one merged triangle soup with the first primitive's
+        material."""
+        if not self.primitives:
+            raise ValueError("split-screen compare needs mesh primitives")
+        import jax.numpy as jnp
+
+        from .render.pipeline import (
+            FrameConfig, calibrate_frame, render_split_screen,
+        )
+
+        mesh = TriangleMesh(
+            tri_pos=jnp.concatenate([m.tri_pos for m, _, _ in self.primitives]),
+            tri_normal=jnp.concatenate(
+                [m.tri_normal for m, _, _ in self.primitives]),
+            tri_tangent=jnp.concatenate(
+                [m.tri_tangent for m, _, _ in self.primitives]),
+            tri_uv=jnp.concatenate([m.tri_uv for m, _, _ in self.primitives]),
+        )
+        material = self.primitives[0][1]
+        cam = make_camera(eye=list(eye), center=list(center), up=list(up),
+                          fov_y_rad=np.deg2rad(fov_deg),
+                          width=width, height=height)
+        res_target = self.last_config.resolution if self.last_config else 1
+        std = self.last_config.gaussian_std if self.last_config else 1.0
+        fc = FrameConfig(
+            width=width, height=height, render_mode=mode,
+            splat_format=self.splat_format, gaussian_std=std,
+            resolution_target=res_target, has_pbr=self.has_pbr,
+        )
+        fc = calibrate_frame(splats, cam, fc)
+        return render_split_screen(splats, mesh, material, cam, fc,
+                                   light=light, split_x=split_x)
+
     # ---------------------------------------------------------------- export
 
     def export_ply(self, splats: Splats, path, fmt: int = 0,

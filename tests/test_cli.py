@@ -57,3 +57,18 @@ def test_cli_batch_routes_through_scene(helmet_glb, tmp_path, capsys):
     captured = capsys.readouterr()
     assert "batch done: 1 converted, 0 failed" in captured.out
     assert (pathlib.Path(out_dir) / "a.ply").exists()
+
+
+def test_cli_split_screen(helmet_glb, tmp_path, capsys):
+    """--split renders the mesh-vs-splat compare (the reference's stencil
+    divider, GaussianRelightingPass.cpp:90-135) through Scene.render_split."""
+    out = tmp_path / "split.png"
+    cli.main(["render", helmet_glb, str(out), "--resolution", "64",
+              "--width", "128", "--height", "96", "--split", "0.5"])
+    assert out.exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (96, 128)
+    # the divider column is white
+    assert img[:, 64].mean() > 250
