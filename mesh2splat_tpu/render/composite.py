@@ -20,8 +20,13 @@ the same polynomial elementwise is both faster AND exact):
   * gaussian falloff power and the quad-coverage coordinates (u, v) are
     LINEAR in the pixel-feature basis [1, x, y, x^2, x*y, y^2] (tile-local
     coords); PLANE_EVAL="vpu" (the default) evaluates them as f32 madds —
-    identical arithmetic to the dense path. "mxu" (one HIGHEST
-    (3*CHUNK, 8) @ (8, NPX) matmul) and "hybrid" remain for A/B profiling;
+    identical arithmetic to the dense path. "hybrid" (power plane on the
+    MXU at bf16x3) measures 4 ms faster at 1080p but its error is
+    structurally unbounded — the polynomial basis has large cancelling
+    terms when the mean lies far outside the tile (elongated quads), and
+    bf16x3's 2^-16 relative error on those terms reaches ~0.3% of the
+    composited depth channel — so it stays a profiling knob. "mxu"
+    (everything on the MXU) measures slower (92 ms) AND inexact;
   * the front-to-back transmittance chain is a direct exclusive prefix
     PRODUCT of (1 - a) (TRANSMIT="prod"), log2(CHUNK) Hillis-Steele
     roll+multiply passes — no transcendentals;
