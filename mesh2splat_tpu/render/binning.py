@@ -83,7 +83,11 @@ if (TILE_H * TILE_W) % 128 or TILE_H < 8 or TILE_W < 8:
         "of 128 (flat lane dimension) and both sides >= 8"
     )
 
-CHUNK = 128  # compositing kernel DMA granularity (lane-aligned windows)
+# compositing kernel DMA granularity (lane-aligned windows); PROFILING-ONLY
+# override M2S_COMP_CHUNK, must stay a multiple of 128 (Mosaic lane slices)
+CHUNK = int(_os.environ.get("M2S_COMP_CHUNK", "128"))
+if CHUNK % 128:
+    raise ValueError(f"M2S_COMP_CHUNK={CHUNK} must be a multiple of 128")
 
 # ---------------------------------------------------------------------------
 # field registry: names -> row index in the (F_pad, P) pair-field buffer

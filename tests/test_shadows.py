@@ -106,3 +106,48 @@ def test_tiled_shadow_matches_dense():
     # radial-sorted first hit == exact min up to the kernel's 0.9999 alpha
     # clamp (1e-4 relative)
     assert np.abs(d[both] - t[both]).max() < 2e-3
+
+
+def test_shadow_model_transform_equals_baked():
+    """Shadows honor the per-model transform (G9 applies the model matrix
+    before face binning): a translated model must produce the same cubemap
+    as splats with the translation baked into their positions."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mesh2splat_tpu.render.shadows import render_shadow_cubemap
+    from mesh2splat_tpu.types import Splats, compose_trs
+
+    rng = np.random.default_rng(11)
+    n = 200
+    pos = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    sp = Splats(
+        pos=jnp.asarray(pos),
+        color=jnp.concatenate(
+            [jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+             jnp.ones((n, 1))], -1),
+        scale=jnp.full((n, 3), 0.05, jnp.float32),
+        normal=jnp.broadcast_to(jnp.asarray([0, 0, 1.0]), (n, 3)),
+        quat=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4)),
+        pbr=jnp.full((n, 2), 0.5, jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+    d = np.array([0.3, -0.1, 0.2], np.float32)
+    light, far = [0.0, 0.5, 3.0], 10.0
+
+    moved = render_shadow_cubemap(
+        sp, light, far, std_dev=1.0, size=64, method="tiled",
+        model_to_world=compose_trs(translation=d),
+    )
+    baked = render_shadow_cubemap(
+        dataclasses.replace(sp, pos=sp.pos + d), light, far,
+        std_dev=1.0, size=64, method="tiled",
+    )
+    np.testing.assert_allclose(np.asarray(moved.faces),
+                               np.asarray(baked.faces), atol=1e-5)
+    # and the transform must actually change the map vs identity
+    base = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
+                                 method="tiled")
+    assert np.abs(np.asarray(moved.faces) - np.asarray(base.faces)).max() > 1e-3
