@@ -16,7 +16,7 @@ per iteration, matching the reference's ConversionPass unit of work
 Everything after the JSON line is best-effort secondary telemetry
 (1080p raster fwd, per-stage split, bwd/fwd ratio, shadow cubemap), each
 section printed to stderr the moment it is measured and individually guarded
-both by try/except and by a wall-clock budget (BENCH_BUDGET_S, default 420 s
+both by try/except and by a wall-clock budget (BENCH_BUDGET_S, default 900 s
 including compiles) so a slow compile can only cost the remaining sections,
 never the record.
 """

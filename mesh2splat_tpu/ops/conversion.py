@@ -534,6 +534,14 @@ def _finish_convert(
     if atlas is not None:
         n_levels = len(atlas.geom)
         th0, tw0 = atlas.geom[0][1], atlas.geom[0][2]
+        if n_levels != len(fragment.mip_dims(th0, tw0, config.use_mips)):
+            # a prebuilt atlas bakes its mip decision in; a conflicting
+            # config would silently win/lose the mip chain
+            raise ValueError(
+                f"config.use_mips={config.use_mips} conflicts with the "
+                f"prebuilt atlas ({n_levels} level(s)); rebuild with "
+                f"pack_atlas(material, mips={config.use_mips})"
+            )
     elif stack is not None:
         n_levels = len(fragment.mip_dims(
             stack.shape[1], stack.shape[2], config.use_mips))

@@ -88,6 +88,13 @@ def _frame_core(splats, camera, light, mesh, material, cubemap,
     op-by-op orchestration costs ~50ms/dispatch on a tunneled device)."""
     depth_map = None
     if mesh is not None and config.depth_test_mesh:
+        if model_to_world is not None:
+            # occlusion culling must test against the TRANSFORMED mesh
+            # (renderer.cpp:178-206 applies the model matrix to both)
+            M = model_to_world
+            mesh = dataclasses.replace(
+                mesh, tri_pos=mesh.tri_pos @ M[:3, :3].T + M[:3, 3]
+            )
         _, depth_ndc = rasterize_mesh(
             mesh, material or Material.default(), camera,
             config.width, config.height, opaque_only=True,
@@ -159,6 +166,7 @@ def render_frame(
         cubemap = render_shadow_cubemap(
             splats, light.position, far=25.0, std_dev=config.std_dev,
             size=config.shadow_size, model_to_world=model_to_world,
+            splat_format=config.splat_format,
         )
 
     return _frame_core(

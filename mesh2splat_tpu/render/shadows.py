@@ -97,9 +97,10 @@ def dominant_face(d):
     return (axis * 2 + (comp < 0).astype(jnp.int32)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("size",))
+@partial(jax.jit, static_argnames=("size", "splat_format"))
 def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int,
-                 model_to_world=None):
+                 model_to_world=None,
+                 splat_format: SplatFormat = SplatFormat.MESH2SPLAT):
     """One fused dispatch: face assignment, radial depths, all 6 face
     projections, and per-face (pair, col) budget requirements. Eager op-by-
     op orchestration costs ~50ms/dispatch on a tunneled device, so the whole
@@ -116,7 +117,7 @@ def _shadow_prep(splats: Splats, light_pos, far, std_dev, size: int,
         in_face = jnp.logical_and(splats.valid, splat_face == f)
         pr = project_splats(
             dataclasses.replace(splats, valid=in_face), cams[f],
-            std_dev=std_dev, splat_format=SplatFormat.MESH2SPLAT,
+            std_dev=std_dev, splat_format=splat_format,
             model_to_world=model_to_world,
         )
         projs.append(pr)
@@ -133,9 +134,10 @@ def _world_pos(splats: Splats, model_to_world):
     return splats.pos @ M[:3, :3].T + M[:3, 3]
 
 
-@partial(jax.jit, static_argnames=("size",))
+@partial(jax.jit, static_argnames=("size", "splat_format"))
 def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int,
-                       model_to_world=None):
+                       model_to_world=None,
+                       splat_format: SplatFormat = SplatFormat.MESH2SPLAT):
     """Fused-cubemap prep: ONE single-pass projection over all 6 faces.
 
     Each splat belongs to exactly one face (dominant light-space direction,
@@ -200,9 +202,12 @@ def _shadow_prep_fused(splats: Splats, light_pos, far, std_dev, size: int,
         model_scale = jnp.ones(3, jnp.float32)
     else:
         model_scale = jnp.linalg.norm(model_to_world[:3, :3], axis=0)
-    s0 = splats.scale[:, 0] * std_dev * (model_scale[0] * model_scale[0])
-    s1 = splats.scale[:, 1] * std_dev * (model_scale[1] * model_scale[1])
-    s2 = splats.scale[:, 2] * std_dev * (model_scale[2] * model_scale[2])
+    # format-dependent sigma (G4:93-95): raw mesh2splat scales need the
+    # std_dev multiplier; imported 3DGS PLY scales are already real units
+    mult = std_dev if int(splat_format) in (0, 3) else 1.0
+    s0 = splats.scale[:, 0] * mult * (model_scale[0] * model_scale[0])
+    s1 = splats.scale[:, 1] * mult * (model_scale[1] * model_scale[1])
+    s2 = splats.scale[:, 2] * mult * (model_scale[2] * model_scale[2])
 
     qw, qx, qy, qz = (
         splats.quat[:, 0], splats.quat[:, 1],
@@ -350,6 +355,7 @@ def render_shadow_cubemap(
     method: str = "auto",
     pair_capacity: int = 0,
     model_to_world=None,
+    splat_format: SplatFormat = SplatFormat.MESH2SPLAT,
 ) -> ShadowCubemap:
     """Render all 6 faces. Defaults to the reference's 1024^2 faces
     (GaussianShadowPass.cpp:14-19).
@@ -379,13 +385,15 @@ def render_shadow_cubemap(
                 f"tiled shadow size must be a multiple of {TILE_H}"
             )
         merged, band, need = _shadow_prep_fused(
-            splats, light_pos, far, std_dev, size, model_to_world
+            splats, light_pos, far, std_dev, size, model_to_world,
+            splat_format,
         )
         cap = pair_capacity or (1 << max(int(need) - 1, 8192).bit_length())
         faces = _fused_min_raster(merged, band, size, cap)
     else:
         radial, projs, _ = _shadow_prep(
-            splats, light_pos, far, std_dev, size, model_to_world
+            splats, light_pos, far, std_dev, size, model_to_world,
+            splat_format,
         )
         faces = jnp.stack([
             _min_rasterize_face(projs[f], radial, size, chunk)

@@ -102,11 +102,16 @@ class Scene:
     def render(self, splats: Splats, eye, center=(0, 0, 0), up=(0, 1, 0),
                width=1280, height=720, fov_deg=60.0,
                mode: RenderMode = RenderMode.ALBEDO, shadows=False,
-               light=None, model_transform=None):
+               light=None, model_transform=None, gaussian_std=None):
         """model_transform: optional per-model transform — a (4, 4) matrix,
         or a (translation, rotation_wxyz, scale) TRS tuple composed via
         types.compose_trs — the reference's gizmo path (ImGuizmo ->
-        UpdateTransforms -> renderer.cpp:178-206)."""
+        UpdateTransforms -> renderer.cpp:178-206).
+
+        gaussian_std: optional sigma-slider override (0.1..2.0); defaults
+        to the conversion's value. NOTE: like the reference, imported 3DGS
+        PLYs (format 1) store real-unit scales, so sigma does not apply to
+        them (G4:93-95)."""
         from .render.pipeline import FrameConfig, render_frame
         from .types import compose_trs
 
@@ -117,7 +122,8 @@ class Scene:
                           fov_y_rad=np.deg2rad(fov_deg),
                           width=width, height=height)
         res_target = self.last_config.resolution if self.last_config else 1
-        std = self.last_config.gaussian_std if self.last_config else 1.0
+        std = gaussian_std if gaussian_std is not None else (
+            self.last_config.gaussian_std if self.last_config else 1.0)
         fc = FrameConfig(
             width=width, height=height, render_mode=mode,
             splat_format=self.splat_format, gaussian_std=std,

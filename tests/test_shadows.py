@@ -151,3 +151,20 @@ def test_shadow_model_transform_equals_baked():
     base = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
                                  method="tiled")
     assert np.abs(np.asarray(moved.faces) - np.asarray(base.faces)).max() > 1e-3
+
+    # full TRS (rotation + non-uniform scale): the fused single-pass
+    # projection's model-rotation fold and model_scale^2 decode must match
+    # the dense path, which routes through ops/projection.py verbatim
+    trs = compose_trs(translation=(0.1, 0.2, -0.1),
+                      rotation_wxyz=(0.9, 0.1, 0.4, -0.1),
+                      scale=(1.2, 0.8, 1.05))
+    fused = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
+                                  method="tiled", model_to_world=trs)
+    dense = render_shadow_cubemap(sp, light, far, std_dev=1.0, size=64,
+                                  method="dense", model_to_world=trs)
+    f, dn = np.asarray(fused.faces), np.asarray(dense.faces)
+    cov_f, cov_d = f < 1.0, dn < 1.0
+    assert cov_f.mean() > 0.005  # scene actually covers pixels
+    assert (cov_f == cov_d).mean() > 0.995
+    both = cov_f & cov_d
+    np.testing.assert_allclose(f[both], dn[both], atol=5e-3)
