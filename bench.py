@@ -276,6 +276,8 @@ def main():
         "vs_baseline": round(conv_per_s / 2000.0, 4),
     }))
     sys.stdout.flush()
+    global _JSON_PRINTED
+    _JSON_PRINTED = True
 
     try:  # secondary metrics must never kill the bench
         _secondary_metrics(sp, cfg, count)
@@ -284,5 +286,20 @@ def main():
     _log("bench done")
 
 
+_JSON_PRINTED = False
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # The tunneled TPU runtime occasionally crashes/restarts mid-run
+        # ("TPU worker process crashed"); a crashed jax client cannot
+        # recover in-process, so re-exec ONCE so the flagship record still
+        # lands (round-4's official record died to exactly this class of
+        # environment flake). Never retry once the JSON line is out — a
+        # second line would corrupt the record.
+        if _JSON_PRINTED or os.environ.get("M2S_BENCH_RETRIED") == "1":
+            raise
+        _log(f"bench crashed ({type(e).__name__}: {e}); re-exec once")
+        os.environ["M2S_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
