@@ -112,6 +112,11 @@ def _secondary_metrics(sp, cfg, count):
     from mesh2splat_tpu.render.tiled import rasterize_tiled
     from mesh2splat_tpu.types import RenderMode, SplatFormat, make_camera
 
+    # the raster compiles are the most expensive of the run: skip the whole
+    # secondary block if the conversion phase already ate the budget
+    if _remaining() < 150:
+        raise RuntimeError(f"budget ({_remaining():.0f}s left)")
+
     wpx, hpx = 1920, 1080
     cam = make_camera(
         eye=[0, 0, 3.2], center=[0, 0, 0], up=[0, 1, 0],
@@ -210,7 +215,9 @@ def _secondary_metrics(sp, cfg, count):
         _, _, need = _shadow_prep_fused(
             sp, light, far, cfg.scale_multiplier, 1024
         )
-        cap = 1 << max(int(need) - 1, 8192).bit_length()
+        from mesh2splat_tpu.render.binning import round_pow2_budget
+
+        cap = round_pow2_budget(need)
 
         def shadow_fn(s):
             return render_shadow_cubemap(

@@ -126,6 +126,28 @@ def cmd_render(args):
 
     mode = RenderMode[args.mode.upper()]
     suffix = pathlib.Path(args.input).suffix.lower()
+
+    model_transform = None
+    if args.translate or args.rotate or args.scale_model:
+        vec = lambda s, d: tuple(float(x) for x in s.split(",")) if s else d
+        model_transform = (
+            vec(args.translate, (0, 0, 0)),
+            vec(args.rotate, (1, 0, 0, 0)),
+            vec(args.scale_model, (1, 1, 1)),
+        )
+
+    # flag-combination validation BEFORE the (expensive) load/conversion
+    if args.split is not None:
+        if suffix == ".ply":
+            raise SystemExit("--split needs a glb input (mesh to compare)")
+        if args.shadows or model_transform is not None:
+            # the compare view supports neither — reject loudly instead of
+            # silently rendering without them
+            raise SystemExit(
+                "--split cannot be combined with --shadows/--translate/"
+                "--rotate/--scale-model"
+            )
+
     if suffix == ".ply":
         scene = Scene.from_ply(args.input)
         splats = scene.imported_splats
@@ -139,25 +161,7 @@ def cmd_render(args):
     light = PointLight(position=jnp.asarray(lp), color=jnp.ones(3),
                        intensity=jnp.asarray(10.0))
 
-    model_transform = None
-    if args.translate or args.rotate or args.scale_model:
-        vec = lambda s, d: tuple(float(x) for x in s.split(",")) if s else d
-        model_transform = (
-            vec(args.translate, (0, 0, 0)),
-            vec(args.rotate, (1, 0, 0, 0)),
-            vec(args.scale_model, (1, 1, 1)),
-        )
-
     if args.split is not None:
-        if suffix == ".ply":
-            raise SystemExit("--split needs a glb input (mesh to compare)")
-        if args.shadows or model_transform is not None:
-            # the compare view supports neither — reject loudly instead of
-            # silently rendering without them
-            raise SystemExit(
-                "--split cannot be combined with --shadows/--translate/"
-                "--rotate/--scale-model"
-            )
         img = scene.render_split(
             splats, eye=eye, center=center, width=args.width,
             height=args.height, fov_deg=args.fov, mode=mode, light=light,

@@ -31,10 +31,26 @@ _lib = None
 _tried = False
 
 
+def _src_tag() -> str:
+    """Content hash of the C sources: keys the shared per-user cache so a
+    reinstall/downgrade with different sources (and possibly a different
+    C ABI) can never load a stale binary (mtime alone is unreliable —
+    installers reset mtimes)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in ("ply_codec.cpp", "glb_decode.cpp"):
+        try:
+            h.update((_CSRC / name).read_bytes())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
+
+
 def _lib_path() -> pathlib.Path:
     """Build target: next to the sources when that directory is writable
-    (repo checkout / editable install), else a per-user cache dir (wheel
-    installed into a read-only site-packages)."""
+    (repo checkout / editable install), else a per-user cache dir keyed by
+    source hash (wheel installed into a read-only site-packages)."""
     import os
 
     if os.access(_CSRC, os.W_OK):
@@ -43,7 +59,7 @@ def _lib_path() -> pathlib.Path:
         os.environ.get("XDG_CACHE_HOME", pathlib.Path.home() / ".cache")
     ) / "mesh2splat_tpu"
     cache.mkdir(parents=True, exist_ok=True)
-    return cache / "libm2s_native.so"
+    return cache / f"libm2s_native-{_src_tag()}.so"
 
 
 def _load():

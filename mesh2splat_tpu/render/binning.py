@@ -443,6 +443,14 @@ def required_overflow(proj: ProjectedSplats, width: int, height: int,
     return jnp.sum(jnp.where(valid & (pairs_n > 1), pairs_n - 1, 0))
 
 
+def round_pow2_budget(need, floor: int = 8192) -> int:
+    """Round a measured pair/slot requirement up to a power of two (so
+    similar scenes share a compile), with a floor. The ONE policy every
+    budget-calibration site uses (pipeline, shadows, fit, bench) — keep
+    them aligned by calling this, not by copying the expression."""
+    return 1 << max(int(need) - 1, floor).bit_length()
+
+
 def calibrate_overflow(
     proj: ProjectedSplats, width: int, height: int, round_to: int = 8192
 ) -> int:

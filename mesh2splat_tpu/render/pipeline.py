@@ -132,8 +132,9 @@ def calibrate_frame(
         has_pbr=config.has_pbr, model_to_world=model_to_world,
     )
     p = int(required_overflow(proj, config.width, config.height))
-    up = lambda v: 1 << max(int(v) - 1, 8192).bit_length()
-    return dataclasses.replace(config, pair_capacity=up(p))
+    from .binning import round_pow2_budget
+
+    return dataclasses.replace(config, pair_capacity=round_pow2_budget(p))
 
 
 def render_frame(

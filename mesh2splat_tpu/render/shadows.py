@@ -388,7 +388,9 @@ def render_shadow_cubemap(
             splats, light_pos, far, std_dev, size, model_to_world,
             splat_format,
         )
-        cap = pair_capacity or (1 << max(int(need) - 1, 8192).bit_length())
+        from .binning import round_pow2_budget
+
+        cap = pair_capacity or round_pow2_budget(need)
         faces = _fused_min_raster(merged, band, size, cap)
     else:
         radial, projs, _ = _shadow_prep(

@@ -150,7 +150,9 @@ def fit_splats(
             return jnp.max(jax.vmap(one)(cameras))
 
         need_p = int(worst_view_need(splats, cameras))
-        pair_cap = 1 << max(need_p - 1, 8192).bit_length()
+        from ..render.binning import round_pow2_budget
+
+        pair_cap = round_pow2_budget(need_p)
 
     step = jax.jit(
         train_step_fn(
